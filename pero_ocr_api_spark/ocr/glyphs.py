@@ -1,0 +1,152 @@
+"""Deterministic fixed-pitch glyph font: render + template decode.
+
+Stand-in for the external ``pero_ocr`` OCR models (the reference only
+*invokes* them — ``processing_client/run_client.py:20-22,201``; the
+nets themselves are not part of the reference repo). Here "OCR" is
+template matching over a 5x7 bitmap font, which keeps the whole media
+path numpy-only, bit-deterministic, and batchable.
+
+Contracts relied on by the layout/decode stages:
+
+* fixed pitch — every glyph cell is ``(GLYPH_W + 1) * scale`` px wide
+  and ``GLYPH_H * scale`` px tall; spaces are empty cells;
+* every glyph has ink in bitmap row 0 and column 0 (asserted in
+  tests), so a line's bounding box anchors the cell grid exactly;
+* noise is *gray-level only* (ink pixels get values in
+  ``[0, 255*noise)``, background stays 255), so binarization at
+  :data:`BINARIZE_THRESHOLD` recovers the exact glyph structure while
+  the mean ink level carries the per-line confidence signal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GLYPH_W = 5
+GLYPH_H = 7
+# horizontal advance in glyph-grid columns (5 ink + 1 gap)
+PITCH = GLYPH_W + 1
+# vertical advance between lines in glyph-grid rows (7 ink + 2 gap)
+LINE_ADVANCE = GLYPH_H + 2
+
+BINARIZE_THRESHOLD = 192
+MAX_NOISE = 0.74  # keeps max ink value < BINARIZE_THRESHOLD
+
+_FONT_ROWS = {
+    "A": [" ### ", "#   #", "#   #", "#####", "#   #", "#   #", "#   #"],
+    "B": ["#### ", "#   #", "#   #", "#### ", "#   #", "#   #", "#### "],
+    "C": [" ### ", "#   #", "#    ", "#    ", "#    ", "#   #", " ### "],
+    "D": ["#### ", "#   #", "#   #", "#   #", "#   #", "#   #", "#### "],
+    "E": ["#####", "#    ", "#    ", "#### ", "#    ", "#    ", "#####"],
+    "F": ["#####", "#    ", "#    ", "#### ", "#    ", "#    ", "#    "],
+    "G": [" ### ", "#   #", "#    ", "# ###", "#   #", "#   #", " ####"],
+    "H": ["#   #", "#   #", "#   #", "#####", "#   #", "#   #", "#   #"],
+    "I": ["#####", "  #  ", "  #  ", "  #  ", "  #  ", "  #  ", "#####"],
+    "J": ["#####", "   # ", "   # ", "   # ", "   # ", "#  # ", " ##  "],
+    "K": ["#   #", "#  # ", "# #  ", "##   ", "# #  ", "#  # ", "#   #"],
+    "L": ["#    ", "#    ", "#    ", "#    ", "#    ", "#    ", "#####"],
+    "M": ["#   #", "## ##", "# # #", "# # #", "#   #", "#   #", "#   #"],
+    "N": ["#   #", "##  #", "# # #", "#  ##", "#   #", "#   #", "#   #"],
+    "O": [" ### ", "#   #", "#   #", "#   #", "#   #", "#   #", " ### "],
+    "P": ["#### ", "#   #", "#   #", "#### ", "#    ", "#    ", "#    "],
+    "Q": [" ### ", "#   #", "#   #", "#   #", "# # #", "#  # ", " ## #"],
+    "R": ["#### ", "#   #", "#   #", "#### ", "# #  ", "#  # ", "#   #"],
+    "S": [" ####", "#    ", "#    ", " ### ", "    #", "    #", "#### "],
+    "T": ["#####", "  #  ", "  #  ", "  #  ", "  #  ", "  #  ", "  #  "],
+    "U": ["#   #", "#   #", "#   #", "#   #", "#   #", "#   #", " ### "],
+    "V": ["#   #", "#   #", "#   #", "#   #", "#   #", " # # ", "  #  "],
+    "W": ["#   #", "#   #", "#   #", "# # #", "# # #", "## ##", "#   #"],
+    "X": ["#   #", "#   #", " # # ", "  #  ", " # # ", "#   #", "#   #"],
+    "Y": ["#   #", "#   #", " # # ", "  #  ", "  #  ", "  #  ", "  #  "],
+    "Z": ["#####", "    #", "   # ", "  #  ", " #   ", "#    ", "#####"],
+    "0": [" ### ", "#   #", "#  ##", "# # #", "##  #", "#   #", " ### "],
+    "1": ["# #  ", " ##  ", "  #  ", "  #  ", "  #  ", "  #  ", "#####"],
+    "2": [" ### ", "#   #", "    #", "   # ", "  #  ", " #   ", "#####"],
+    "3": ["#####", "    #", "   # ", "  ## ", "    #", "#   #", " ### "],
+    "4": ["#  # ", "#  # ", "#  # ", "#####", "   # ", "   # ", "   # "],
+    "5": ["#####", "#    ", "#### ", "    #", "    #", "#   #", " ### "],
+    "6": [" ### ", "#    ", "#    ", "#### ", "#   #", "#   #", " ### "],
+    "7": ["#####", "    #", "   # ", "  #  ", " #   ", " #   ", " #   "],
+    "8": [" ### ", "#   #", "#   #", " ### ", "#   #", "#   #", " ### "],
+    "9": [" ### ", "#   #", "#   #", " ####", "    #", "    #", " ### "],
+}
+
+ALPHABET = "".join(sorted(_FONT_ROWS))
+
+
+def _bitmap(rows: list[str]) -> np.ndarray:
+    return np.array([[c == "#" for c in row] for row in rows], dtype=bool)
+
+
+FONT: dict[str, np.ndarray] = {ch: _bitmap(rows) for ch, rows in _FONT_ROWS.items()}
+
+# stacked template tensor for vectorized matching: (n_glyphs, 7, 5)
+TEMPLATES = np.stack([FONT[ch] for ch in ALPHABET])
+
+
+def render_line(
+    text: str, scale: int, noise: float, rng: np.random.RandomState
+) -> np.ndarray:
+    """Render one text line; returns (7*scale, len(text)*6*scale) uint8.
+
+    Background 255; ink pixels drawn at deterministic gray levels in
+    ``[0, 255*noise)`` (0 when ``noise == 0``).
+    """
+    if noise < 0 or noise > MAX_NOISE:
+        raise ValueError(f"noise must be in [0, {MAX_NOISE}]")
+    h = GLYPH_H * scale
+    w = len(text) * PITCH * scale
+    canvas = np.full((h, w), 255, dtype=np.uint8)
+    for i, ch in enumerate(text):
+        if ch == " ":
+            continue
+        bitmap = FONT[ch]  # KeyError = unsupported char, caller's bug
+        cell = np.kron(bitmap, np.ones((scale, scale), dtype=bool))
+        x0 = i * PITCH * scale
+        ink = np.zeros(cell.shape, dtype=np.uint8)
+        if noise > 0:
+            ink = (rng.random_sample(cell.shape) * 255 * noise).astype(np.uint8)
+        region = canvas[:, x0 : x0 + GLYPH_W * scale]
+        region[cell] = ink[cell]
+    return canvas
+
+
+def decode_cells(line_img: np.ndarray, scale: int) -> tuple[str, float]:
+    """Decode one line image back to (text, confidence).
+
+    ``line_img`` must be the exact line bounding box: height
+    ``7*scale``, width a multiple of ``6*scale`` (trailing partial gap
+    column tolerated). Confidence = ``1 - 2 * mean(ink)/255`` over ink
+    pixels (≈ ``1 - noise``), 1.0 for an all-space line.
+    """
+    h, w = line_img.shape
+    if h != GLYPH_H * scale:
+        raise ValueError(f"line height {h} != {GLYPH_H * scale}")
+    binary = line_img < BINARIZE_THRESHOLD
+    n_cells = int(round(w / (PITCH * scale)))
+    chars: list[str] = []
+    ink_vals: list[np.ndarray] = []
+    for i in range(n_cells):
+        x0 = i * PITCH * scale
+        cell = binary[:, x0 : x0 + GLYPH_W * scale]
+        if cell.shape[1] < GLYPH_W * scale:  # ragged tail
+            pad = np.zeros((h, GLYPH_W * scale - cell.shape[1]), dtype=bool)
+            cell = np.hstack([cell, pad])
+        if not cell.any():
+            chars.append(" ")
+            continue
+        # block-mean downsample to the 7x5 template grid
+        small = (
+            cell.reshape(GLYPH_H, scale, GLYPH_W, scale).mean(axis=(1, 3)) > 0.5
+        )
+        scores = (TEMPLATES == small).mean(axis=(1, 2))
+        chars.append(ALPHABET[int(np.argmax(scores))])
+        gray_cell = line_img[:, x0 : x0 + GLYPH_W * scale]
+        ink_vals.append(gray_cell[cell[:, : gray_cell.shape[1]]])
+    text = "".join(chars).rstrip(" ")
+    if ink_vals:
+        mean_ink = float(np.concatenate(ink_vals).mean())
+        conf = max(0.0, min(1.0, 1.0 - 2.0 * mean_ink / 255.0))
+    else:
+        conf = 1.0
+    return text, round(conf, 4)

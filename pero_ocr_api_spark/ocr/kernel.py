@@ -1,0 +1,151 @@
+"""Per-media extraction kernel: bytes → decoded text + exports.
+
+One pure function, :func:`process_media`, shared verbatim by the
+distributed path (inside ``mapInPandas`` Arrow batches,
+``plans/extract.py``) and the single-process test oracle
+(``tests/oracle.py``) — so golden tests compare the *pipeline
+plumbing*, not two divergent kernels.
+
+Error protocol mirrors the reference client loop
+(``run_client.py:316-331``): the error state is pre-set before each
+risky step, the kernel never raises — it returns a failure result so
+one bad document cannot kill an executor task:
+
+* ``NOT_FOUND``          — media_ref had no row in the media table
+  (reference: page URL 404, ``general.py:231-236``);
+* ``INVALID_FILE``       — bytes fail to decode (reference:
+  ``get_image`` raise, ``run_client.py:317``);
+* ``PROCESSING_FAILED``  — layout/OCR stage raise
+  (``run_client.py:321``).
+"""
+
+from __future__ import annotations
+
+import traceback
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pero_ocr_api_spark.functions.arabic import is_arabic_line
+from pero_ocr_api_spark.ocr import exports, layout, png
+from pero_ocr_api_spark.ocr.layout import Block, Line
+
+STATE_PROCESSED = "PROCESSED"
+STATE_NOT_FOUND = "NOT_FOUND"
+STATE_INVALID_FILE = "INVALID_FILE"
+STATE_PROCESSING_FAILED = "PROCESSING_FAILED"
+
+DEFAULT_CONFIG = {
+    # reference defaults: run_client.py:41-42 (min confidence),
+    # model.py:171-175 (LINE_HEIGHT=40 ≈ 7px glyphs + padding at scale 5)
+    "scale": 5,
+    "min_confidence": 0.42,
+    "engine_name": "glyph_template_engine",
+    "engine_version": "v1",
+}
+
+
+@dataclass
+class MediaResult:
+    state: str
+    text: str = ""  # filtered + normalized, "\n"-joined (span text)
+    score: float | None = None  # median post-filter confidence, 0-1
+    alto_xml: str | None = None
+    page_xml: str | None = None
+    txt: str | None = None
+    error: str | None = None
+    n_lines: int = 0
+    confidences: list[float] = field(default_factory=list)  # post-filter
+
+
+def _score(confidences: list[float]) -> float:
+    """Median line confidence; 1.0 with no lines (get_score,
+    run_client.py:144-152)."""
+    if not confidences:
+        return 1.0
+    return float(np.quantile(np.array(confidences, dtype=np.float64), 0.5))
+
+
+def process_media(
+    media_bytes: bytes | None,
+    media_kind: str | None,
+    media_ref: str,
+    config: dict | None = None,
+) -> MediaResult:
+    cfg = {**DEFAULT_CONFIG, **(config or {})}
+    if media_bytes is None:
+        return MediaResult(
+            state=STATE_NOT_FOUND,
+            error=f"media_ref {media_ref!r} not found in media table",
+        )
+    try:
+        if media_kind != "image/png":
+            raise png.PngError(f"unsupported media_kind {media_kind!r}")
+        gray = png.decode_gray(media_bytes)
+    except Exception:
+        return MediaResult(
+            state=STATE_INVALID_FILE, error=traceback.format_exc()
+        )
+    try:
+        blocks = layout.analyze_page(gray, int(cfg["scale"]))
+        page_wh = (gray.shape[1], gray.shape[0])
+        # ALTO first: unfiltered, unnormalized (run_client.py:209)
+        alto = exports.to_alto_xml(
+            blocks,
+            page_wh,
+            media_ref,
+            str(cfg["engine_name"]),
+            str(cfg["engine_version"]),
+            float(cfg["min_confidence"]),
+        )
+        # confidence filter: strictly greater-than, falsy conf dropped
+        # (run_client.py:212-216)
+        min_conf = float(cfg["min_confidence"])
+        filtered: list[Block] = []
+        if min_conf > 0:
+            for b in blocks:
+                kept = [
+                    l for l in b.lines
+                    if l.confidence and l.confidence > min_conf
+                ]
+                filtered.append(
+                    Block(y0=b.y0, x0=b.x0, y1=b.y1, x1=b.x1, lines=kept)
+                )
+        else:
+            filtered = blocks
+        # Arabic normalization after the filter (run_client.py:218-220)
+        for b in filtered:
+            b.lines = [
+                Line(
+                    text=l.text[::-1] if is_arabic_line(l.text) else l.text,
+                    confidence=l.confidence,
+                    y0=l.y0,
+                    x0=l.x0,
+                    h=l.h,
+                    w=l.w,
+                )
+                for l in b.lines
+            ]
+        page_xml = exports.to_page_xml(filtered, page_wh, media_ref)
+        txt = exports.to_txt(filtered)
+        confs = [l.confidence for b in filtered for l in b.lines]
+        return MediaResult(
+            state=STATE_PROCESSED,
+            text="\n".join(l.text for b in filtered for l in b.lines),
+            score=_score(confs),
+            alto_xml=alto,
+            page_xml=page_xml,
+            txt=txt,
+            n_lines=len(confs),
+            confidences=confs,
+        )
+    except Exception:
+        return MediaResult(
+            state=STATE_PROCESSING_FAILED, error=traceback.format_exc()
+        )
+
+
+def doc_score(confidences: list[float]) -> float:
+    """Document score: median post-filter line confidence across all
+    media spans, x100 rounded to 2 dp (routes.py:271); 100.0 if none."""
+    return round(_score(confidences) * 100.0, 2)

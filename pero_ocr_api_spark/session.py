@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Scale design (local[32] sandbox stands in for a 1000-executor cluster):
+
+* AQE on — runtime coalescing of shuffle partitions, skew-join
+  splitting.  At 100 TB the media stage is the skew hazard (media-heavy
+  documents), so ``spark.sql.adaptive.skewJoin`` stays enabled and the
+  extract plan additionally salts media-heavy docs explicitly.
+* Arrow on — every Python-side kernel is an Arrow-batched pandas UDF;
+  ``maxRecordsPerBatch`` is kept small for the media stage because each
+  record can carry a multi-megapixel decoded page.
+* ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  a real cluster run would set it to ~2-3x total executor cores and let
+  AQE coalesce.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size for media-carrying stages: a 5 MP page decodes to
+# ~5 MB; 64 rows/batch keeps a batch under ~0.5 GB even for dense docs.
+MEDIA_ARROW_BATCH = 64
+
+
+def get_spark(
+    app_name: str = "pero_ocr_api_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores=None`` uses ``SPARK_GRAFT_CPUS`` (driver contract) or all
+    local cores. On a real cluster the master/deploy settings come from
+    spark-submit; everything here is master-agnostic tuning.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(MEDIA_ARROW_BATCH),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
