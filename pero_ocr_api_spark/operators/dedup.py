@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines.
+
+All four families over the ``documents`` table, Spark-first:
+
+* **exact** — md5 fingerprint of normalized text, hash groupBy;
+* **MinHash + LSH** — word-3-gram shingles → k-permutation MinHash →
+  banded LSH bucket join for candidate pairs;
+* **SimHash** — 16-bit token-hash sign aggregate;
+* **n-gram Jaccard** — exact set similarity used to verify LSH
+  candidates.
+
+Engine-portability: every hash primitive is md5-based (never
+``F.hash``/DuckDB ``hash`` — different algorithms), so each operator
+has a DuckDB SQL twin for the driver's oracle. MinHash "permutations"
+are md5(salt || shingle) minima compared lexicographically as hex
+strings — portable across any engine with md5 + string min.
+
+Scale notes: signatures are fixed-width (k strings) per doc —
+shuffle-light; the LSH self-join shuffles on (band_idx, band_hash),
+which is uniformly distributed by construction; exact dedup is one
+hash aggregate. Jaccard verification is only computed on LSH
+candidates, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.functions.text_stats import normalize_text_col
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+# ------------------------------------------------------------- shingles ---
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles_col(text: Column) -> Column:
+    """Distinct word-3-gram shingles; whole text if < 3 tokens."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_N),
+        lambda i: F.concat_ws(
+            " ", toks[i], toks[i + 1], toks[i + 2]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= SHINGLE_N, grams).otherwise(F.array(F.trim(F.lower(text))))
+    )
+
+
+def duckdb_tokens_sql(expr: str) -> str:
+    return f"string_split_regex(trim(lower({expr})), '\\s+')"
+
+
+def duckdb_shingles_sql(expr: str) -> str:
+    toks = duckdb_tokens_sql(expr)
+    grams = (
+        f"list_transform(range(1, len({toks}) - {SHINGLE_N - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {SHINGLE_N - 1}), ' '))"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {SHINGLE_N} THEN {grams} "
+        f"ELSE [trim(lower({expr}))] END)"
+    )
+
+
+# ---------------------------------------------------------------- exact ---
+
+
+def fingerprint_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup key: md5 of case/whitespace-normalized text."""
+    return df.withColumn(
+        "fingerprint", F.md5(normalize_text_col(F.col(text_col)).cast("binary"))
+    )
+
+
+# ------------------------------------------------------- portable hashing ---
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+_HEX = "0123456789abcdef"
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal-hash permutations
+    h_i(x) = (a_i*x + b_i) mod p — derived from md5 so both engines
+    embed identical literals. a_i odd, < 2^30 (so a*x fits int64)."""
+    import hashlib as _hl
+
+    out = []
+    for i in range(k):
+        d = _hl.md5(f"minhash{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) | 1) % (2**30)
+        b = int(d[8:16], 16) % MINHASH_PRIME
+        out.append((a | 1, b))
+    return out
+
+
+def md5_int_col(col: Column, hex_digits: int) -> Column:
+    """First `hex_digits` hex chars of md5 parsed to a long — the
+    engine-portable integer hash (F.hash/duckdb hash() differ)."""
+    h = F.md5(col.cast("binary"))
+    out = F.lit(0).cast("long")
+    for i in range(hex_digits):
+        out = out * 16 + (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1)
+    return out
+
+
+def duckdb_md5_int_sql(expr: str, hex_digits: int) -> str:
+    out = "CAST(0 AS BIGINT)"
+    for i in range(hex_digits):
+        digit = f"(strpos('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        out = f"({out} * 16 + {digit})"
+    return out
+
+
+# -------------------------------------------------------------- minhash ---
+
+
+def _perm_min(sh_ints: Column, a: int, b: int) -> Column:
+    return F.array_min(
+        F.transform(
+            sh_ints,
+            lambda v: (v * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
+        )
+    )
+
+
+def minhash_signature_col(text: Column, k: int = MINHASH_K) -> Column:
+    """Integer MinHash: one md5 per shingle (28-bit int), then k cheap
+    (a*h+b) mod p permutation minima."""
+    sh_ints = F.transform(shingles_col(text), lambda s: md5_int_col(s, 7))
+    return F.array(*[_perm_min(sh_ints, a, b) for a, b in _minhash_coeffs(k)])
+
+
+def duckdb_shingle_ints_sql(expr: str) -> str:
+    sh = duckdb_shingles_sql(expr)
+    return f"list_transform({sh}, s -> {duckdb_md5_int_sql('s', 7)})"
+
+
+def duckdb_minhash_from_ints_sql(ints_col: str = "ints", k: int = MINHASH_K) -> str:
+    """Signature list expression over a precomputed shingle-int column
+    (callers materialize the ints in a CTE)."""
+    mins = ", ".join(
+        f"list_min(list_transform({ints_col}, v -> (v * {a} + {b}) % {MINHASH_PRIME}))"
+        for a, b in _minhash_coeffs(k)
+    )
+    return f"[{mins}]"
+
+
+def lsh_bands_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    bands: int = LSH_BANDS,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Explode a signature into (id, band_idx, band_hash) rows."""
+    rows = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(sig_col)[b * rows + r] for r in range(rows)]
+                    ).cast("binary")
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(id_col, F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join on (band_idx, band_hash); id1 < id2; distinct pairs.
+
+    The join key is a uniform hash → no skew; at scale this is the
+    standard shuffle-on-bucket join, never an all-pairs product.
+    """
+    left = bands_df.select(
+        F.col(id_col).alias("id1"), "band_idx", "band_hash"
+    )
+    right = bands_df.select(
+        F.col(id_col).alias("id2"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- simhash ---
+
+
+def _bit_balance(vals: Column, b: int) -> Column:
+    """Σ over token hashes of (bit b set ? +1 : -1)."""
+    return F.aggregate(
+        vals,
+        F.lit(0),
+        lambda acc, v: acc
+        + (F.floor(v / F.lit(2**b)).cast("int") % 2) * 2
+        - 1,
+    )
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-aggregate simhash over 16-bit md5 token hashes."""
+    vals = F.transform(
+        F.array_distinct(tokens_col(text)), lambda t: md5_int_col(t, 4)
+    )
+    out = F.lit(0)
+    for b in range(bits):
+        out = out + F.when(_bit_balance(vals, b) >= 0, F.lit(2**b)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def duckdb_simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:
+    toks = f"list_distinct({duckdb_tokens_sql(expr)})"
+    vals = f"list_transform({toks}, t -> {duckdb_md5_int_sql('t', 4)})"
+    terms = []
+    for b in range(bits):
+        bit_sum = (
+            f"list_sum(list_transform({vals}, "
+            f"v -> CAST(floor(v / {2**b}) AS INTEGER) % 2 * 2 - 1))"
+        )
+        terms.append(f"(CASE WHEN {bit_sum} >= 0 THEN {2**b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming16_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhashes (xor popcount)."""
+    x = a.bitwiseXOR(b)
+    out = F.lit(0)
+    for bit in range(SIMHASH_BITS):
+        out = out + (F.floor(x / F.lit(2**bit)).cast("int") % 2)
+    return out
+
+
+# -------------------------------------------------------------- jaccard ---
+
+
+def jaccard_col(sh1: Column, sh2: Column) -> Column:
+    inter = F.size(F.array_intersect(sh1, sh2))
+    union = F.size(sh1) + F.size(sh2) - inter
+    return inter / F.greatest(union, F.lit(1))
+
+
+def duckdb_jaccard_sql(sh1: str, sh2: str) -> str:
+    inter = f"len(list_intersect({sh1}, {sh2}))"
+    return (
+        f"({inter} / greatest(len({sh1}) + len({sh2}) - {inter}, 1))"
+    )

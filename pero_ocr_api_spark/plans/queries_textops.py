@@ -1,0 +1,402 @@
+"""Training-data operators over `documents`/`embeddings` (+X9 cleaner),
+each with a DuckDB oracle twin.
+
+Near-dup queries *construct* duplicates in-query (append a mutated
+copy of low-id docs) so the operators demonstrably find pairs on the
+otherwise-unique synthetic corpus — same construction in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.functions import text_stats as ts
+from pero_ocr_api_spark.functions.html_clean import (
+    clean_html_col,
+    duckdb_clean_html_sql,
+)
+from pero_ocr_api_spark.functions.portable import duckdb_round_bin, round_bin
+from pero_ocr_api_spark.operators import dedup
+from pero_ocr_api_spark.sources.tables import read_table
+
+DUP_OFFSET = 1_000_000
+N_DUP_DOCS = 40  # doc_id < 40 get a mutated twin
+MUTATION_SUFFIX = " near duplicate suffix"
+
+HTML_PRE = (
+    "<html><head><script>var t=1;</script></head><body>"
+    "<nav>Home | <a href='/a'>About</a></nav><p>"
+)
+HTML_POST = "</p><div><a href='/x'>x</a> <a href='/y'>y</a></div><footer>(c) 2024</footer></body></html>"
+
+
+def _docs(spark, sf):
+    return read_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+
+
+def _with_dups(docs: DataFrame) -> DataFrame:
+    twins = docs.filter(F.col("doc_id") < N_DUP_DOCS).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(MUTATION_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(twins)
+
+
+SQL_WITH_DUPS = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+UNION ALL
+SELECT doc_id + {DUP_OFFSET}, text || '{MUTATION_SUFFIX}', lang, source, n_chars
+FROM documents WHERE doc_id < {N_DUP_DOCS}
+"""
+
+
+# --- X9: HTML cleaner over documents ---------------------------------------
+def q_clean_html_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Wrap each doc in a deterministic boilerplate shell, clean it,
+    emit the recovered length — X9 end to end, JVM-only."""
+    docs = _docs(spark, sf)
+    html = F.concat(F.lit(HTML_PRE), F.col("text"), F.lit(HTML_POST))
+    cleaned = clean_html_col(html)
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        (F.length(cleaned) == F.length(F.col("text"))).alias("roundtrip"),
+    )
+
+
+def _sql_clean_html_docs() -> str:
+    pre = HTML_PRE.replace("'", "''")
+    post = HTML_POST.replace("'", "''")
+    html = f"'{pre}' || text || '{post}'"
+    cleaned = duckdb_clean_html_sql(html)
+    return f"""
+SELECT doc_id, length({cleaned}) AS clean_len,
+       (length({cleaned}) = length(text)) AS roundtrip
+FROM documents
+"""
+
+
+# --- language ID ------------------------------------------------------------
+def q_lang_guess_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return (
+        docs.select("lang", ts.lang_guess_col(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_LANG_GUESS_COUNTS = f"""
+SELECT lang, {ts.duckdb_lang_guess_sql('text')} AS guess, count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --- quality scoring ---------------------------------------------------------
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    q = ts.quality_score_col(F.col("text"))
+    return docs.groupBy("source").agg(
+        round_bin(F.sum(q), 4).alias("quality_sum"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+SELECT source, {duckdb_round_bin(f"sum({ts.duckdb_quality_score_sql('text')})", 4)}
+       AS quality_sum,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# --- token counting ----------------------------------------------------------
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return docs.groupBy("lang").agg(
+        F.sum(ts.token_count_col(F.col("text"))).alias("ws_tokens"),
+        F.sum(ts.bpe_token_count_col(F.col("text"))).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT lang,
+       CAST(sum({ts.duckdb_token_count_sql('text')}) AS BIGINT) AS ws_tokens,
+       CAST(sum({ts.duckdb_bpe_token_count_sql('text')}) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --- exact dedup -------------------------------------------------------------
+def q_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via fingerprint groupBy: constructed exact twins
+    (same text re-inserted) collapse to groups of 2."""
+    docs = _docs(spark, sf)
+    exact_twins = docs.filter(F.col("doc_id") < N_DUP_DOCS).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(exact_twins)
+    fp = ts.fingerprint_col(F.col("text"))
+    return (
+        all_docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id < {N_DUP_DOCS}
+)
+SELECT {ts.duckdb_fingerprint_sql('text')} AS fingerprint,
+       count(*) AS n_copies, min(doc_id) AS keep_id
+FROM all_docs
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --- MinHash + LSH near-dup ---------------------------------------------------
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """shingle → minhash → band → bucket-join: candidate near-dup
+    pairs among docs ∪ mutated twins."""
+    all_docs = _with_dups(_docs(spark, sf))
+    sigs = all_docs.select(
+        "doc_id", dedup.minhash_signature_col(F.col("text")).alias("signature")
+    )
+    bands = dedup.lsh_bands_df(sigs)
+    return dedup.lsh_candidate_pairs(bands)
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    ints = dedup.duckdb_shingle_ints_sql("text")
+    sig = dedup.duckdb_minhash_from_ints_sql("ints")
+    rows = dedup.MINHASH_K // dedup.LSH_BANDS
+    band_rows = []
+    for b in range(dedup.LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH all_docs AS ({SQL_WITH_DUPS}),
+sh_ints AS (SELECT doc_id, {ints} AS ints FROM all_docs),
+sigs AS (SELECT doc_id, {sig} AS sig FROM sh_ints),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM bands a JOIN bands b USING (band_idx, band_hash)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash -------------------------------------------------------------------
+def q_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit simhash per doc, aggregated into bucket histogram."""
+    docs = _docs(spark, sf)
+    return (
+        docs.select(dedup.simhash_col(F.col("text")).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_SIMHASH_BUCKETS = f"""
+SELECT {dedup.duckdb_simhash_sql('text')} AS simhash, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard verification -------------------------------------------------
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Jaccard over shingle sets for the constructed twin pairs
+    (the verify stage after LSH candidate generation)."""
+    all_docs = _with_dups(_docs(spark, sf))
+    sh = all_docs.select(
+        "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
+    )
+    pairs = (
+        sh.filter(F.col("doc_id") < N_DUP_DOCS)
+        .select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+        .join(
+            sh.filter(F.col("doc_id") >= DUP_OFFSET).select(
+                (F.col("doc_id") - DUP_OFFSET).alias("id1"),
+                F.col("sh").alias("sh2"),
+            ),
+            "id1",
+        )
+    )
+    return pairs.select(
+        "id1",
+        (F.col("id1") + DUP_OFFSET).alias("id2"),
+        round_bin(dedup.jaccard_col(F.col("sh1"), F.col("sh2")), 4).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= 0.3)
+
+
+def _sql_ngram_jaccard_pairs() -> str:
+    sh = dedup.duckdb_shingles_sql("text")
+    jac = dedup.duckdb_jaccard_sql("a.sh", "b.sh")
+    return f"""
+WITH all_docs AS ({SQL_WITH_DUPS}),
+shingled AS (SELECT doc_id, {sh} AS sh FROM all_docs)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       {duckdb_round_bin(jac, 4)} AS jaccard
+FROM shingled a
+JOIN shingled b ON b.doc_id = a.doc_id + {DUP_OFFSET}
+WHERE a.doc_id < {N_DUP_DOCS}
+  AND {duckdb_round_bin(jac, 4)} >= 0.3
+"""
+
+
+# --- brute-force cosine top-k (ANN baseline) --------------------------------------
+N_QUERY_VECS = 5
+TOP_K = 5
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N query vectors.
+
+    Brute force is the baseline: broadcast the tiny query side, one
+    pass over the corpus, per-query window top-k. The scale path is
+    q_ann_lsh_topk."""
+    emb = read_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    emb = emb.withColumn("norm", norm)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    sims = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            round_bin(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("norm") * F.col("qn")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine", "rn")
+    )
+
+
+def _sql_cosine_topk() -> str:
+    dot = "list_dot_product(a.v, q.v)"
+    cos = f"{dot} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v)))"
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v FROM emb WHERE vec_id < {N_QUERY_VECS}),
+sims AS (
+  SELECT q.qid, a.vec_id, {duckdb_round_bin(cos, 4)} AS cosine
+  FROM emb a, q WHERE a.vec_id != q.qid
+)
+SELECT qid, vec_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM sims
+) WHERE rn <= {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN (the scale path) ---------------------------------------------
+ANN_PLANES = 6
+EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes from md5 — computed
+    driver-side once, embedded as literals in both engines."""
+    planes = []
+    for p in range(ANN_PLANES):
+        row = []
+        for d in range(EMB_DIM):
+            h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
+            row.append(int(h[:2], 16) - 128)  # [-128, 127]
+        planes.append(row)
+    return planes
+
+
+def _bucket_col(v):
+    out = F.lit(0)
+    for p, w in enumerate(_hyperplanes()):
+        wl = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.zip_with(v, wl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        out = out + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+def _duckdb_bucket_sql(v: str) -> str:
+    terms = []
+    for p, w in enumerate(_hyperplanes()):
+        wl = "[" + ", ".join(f"{float(x)}" for x in w) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({v}, {wl}) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: the partition key for
+    cluster-scale ANN (search only within bucket)."""
+    emb = read_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return (
+        emb.select(_bucket_col(F.col("v")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+SQL_ANN_LSH_BUCKETS = None  # filled below (needs the hyperplane literals)
+
+
+def _sql_ann_lsh_buckets() -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT {_duckdb_bucket_sql('v')} AS bucket, count(*) AS n_vecs
+FROM emb GROUP BY 1
+"""
+
+
+TEXTOPS_QUERIES: dict[str, tuple] = {
+    "clean_html_docs": (q_clean_html_docs, _sql_clean_html_docs()),
+    "lang_guess_counts": (q_lang_guess_counts, SQL_LANG_GUESS_COUNTS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+    "simhash_buckets": (q_simhash_buckets, SQL_SIMHASH_BUCKETS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
+    "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
+}
