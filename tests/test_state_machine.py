@@ -1,0 +1,164 @@
+"""U1-U7 transitions + fair scheduler over the seeded state_meta world
+(each against hand-computed expectations with pinned NOW)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.operators import scheduling, state_machine as sm
+from pero_ocr_api_spark.sources.state_meta import NOW, seed_tables
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    tabs = seed_tables(spark)
+    for df in tabs.values():
+        df.cache().count()
+    return tabs
+
+
+def _states(df):
+    return {r.id: r.state for r in df.select("id", "state").collect()}
+
+
+def test_u1_upload_image(world):
+    out = sm.upload_image(world["page"], "p3", "http://x/3", NOW)
+    s = _states(out)
+    assert s["p3"] == "WAITING"
+    row = out.filter("id = 'p3'").first()
+    assert row.url == "http://x/3"
+    assert row.waiting_timestamp == NOW
+    # everyone else untouched
+    assert s["p1"] == "WAITING" and s["p5"] == "PROCESSED"
+
+
+def test_u2_mark_processing(world):
+    out = sm.mark_processing(world["page"], ["p1", "p5"], NOW)
+    s = _states(out)
+    assert s["p1"] == "PROCESSING"
+    assert s["p5"] == "PROCESSED"  # guard: only WAITING transitions
+
+
+def test_u3_mark_processed(world, spark):
+    results = spark.createDataFrame(
+        [("p2", 77.5, 2)], "id string, score double, engine_version int"
+    )
+    out = sm.mark_processed(world["page"], results, NOW)
+    row = out.filter("id = 'p2'").first()
+    assert row.state == "PROCESSED"
+    assert row.score == 77.5
+    assert row.engine_version == 2
+    assert row.finish_timestamp == NOW
+
+
+def test_u4_mark_failed(world, spark):
+    fails = spark.createDataFrame(
+        [("p2", "INVALID_FILE", "Traceback: boom")],
+        "id string, fail_type string, traceback string",
+    )
+    out = sm.mark_failed(world["page"], fails, NOW)
+    row = out.filter("id = 'p2'").first()
+    assert row.state == "INVALID_FILE"
+    assert row.traceback == "Traceback: boom"
+
+
+def test_u5_cancel_request(world):
+    out = sm.cancel_request(world["page"], "r1", NOW)
+    s = _states(out)
+    # r1's live pages canceled, others untouched
+    assert s["p1"] == "CANCELED" and s["p2"] == "CANCELED" and s["p8"] == "CANCELED"
+    assert s["p4"] == "WAITING" and s["p5"] == "PROCESSED"
+
+
+def test_u6_timeout_requeue(world):
+    out = sm.timeout_requeue(world["page"], NOW)
+    s = _states(out)
+    assert s["p2"] == "WAITING"  # stuck 3 min > 60 s
+    assert s["p8"] == "PROCESSING"  # only 30 s — stays
+
+
+def test_u7_expire_old(world):
+    out = sm.expire_old(world["page"], world["request"], NOW)
+    s = _states(out)
+    assert s["p6"] == "EXPIRED"  # r3 finished 8 days ago
+    assert s["p5"] == "PROCESSED"  # r2 not finished
+
+
+def test_a1_request_completion(world):
+    rows = {
+        r.request_id: r
+        for r in sm.request_completion(world["page"]).collect()
+    }
+    assert rows["r2"].n_pages == 3
+    assert rows["r2"].n_pending == 2  # p3 CREATED + p4 WAITING
+    assert rows["r2"].avg_score == 86.7
+    assert abs(rows["r2"].completion - 1 / 3) < 1e-12
+    assert rows["r3"].completion == 1.0
+
+
+def test_j1_keys_with_waiting(world):
+    keys = {
+        r.key_id
+        for r in scheduling.keys_with_waiting_work(
+            world["page"], world["request"], world["api_key"]
+        ).collect()
+    }
+    # tenant a (p1 waiting) + tenant b (p4); suspended tenant 4 excluded
+    assert keys == {2, 3}
+
+
+def test_j2_processed_counts(world):
+    counts = {
+        r.api_key_id: r.recent_processed
+        for r in scheduling.processed_counts_last_window(
+            world["page"], world["request"], NOW
+        ).collect()
+    }
+    assert counts == {3: 1}  # p5 finished 30 s ago under key 3
+
+
+def test_j3_fair_assign_single_dequeue(world):
+    got = scheduling.fair_assign(
+        world["page"], world["request"], world["api_key"], NOW, limit=1
+    ).collect()
+    assert len(got) == 1
+    # both keys have fifo_rank-1 pages; key 2 has fewer recent
+    # processed (0 vs 1) → p1 wins despite p4 existing
+    assert got[0].page_id == "p1"
+
+
+def test_j3_fair_assign_full_queue(world):
+    ranks = {
+        r.page_id: r.fair_rank
+        for r in scheduling.fair_assign(
+            world["page"], world["request"], world["api_key"], NOW
+        ).collect()
+    }
+    # suspended tenant's p7 never assigned
+    assert set(ranks) == {"p1", "p4"}
+    assert ranks["p1"] == 1 and ranks["p4"] == 2
+
+
+def test_j3_engine_filter(world):
+    got = scheduling.fair_assign(
+        world["page"], world["request"], world["api_key"], NOW, engine_id=2
+    ).collect()
+    assert got == []  # engine 2 has only the suspended tenant's work
+
+
+def test_j7_latest_engine_versions(world):
+    rows = {
+        r.engine_id: r
+        for r in scheduling.latest_engine_versions(
+            world["engine"],
+            world["engine_version"],
+            world["engine_version_model"],
+            world["model"],
+        ).collect()
+    }
+    assert rows[1].version_id == 2  # max id per engine
+    assert rows[1].models == ["czech_ocr", "universal_layout"]
+    assert rows[2].version_id == 3
+    assert rows[2].models == ["universal_layout"]
