@@ -112,7 +112,9 @@ def render_line(
 
 
 def decode_cells(line_img: np.ndarray, scale: int) -> tuple[str, float]:
-    """Decode one line image back to (text, confidence).
+    """Decode one line image back to (text, confidence) — vectorized
+    over all cells at once (one reshape + one template matmul per
+    line; no per-glyph Python loop).
 
     ``line_img`` must be the exact line bounding box: height
     ``7*scale``, width a multiple of ``6*scale`` (trailing partial gap
@@ -122,30 +124,37 @@ def decode_cells(line_img: np.ndarray, scale: int) -> tuple[str, float]:
     h, w = line_img.shape
     if h != GLYPH_H * scale:
         raise ValueError(f"line height {h} != {GLYPH_H * scale}")
-    binary = line_img < BINARIZE_THRESHOLD
     n_cells = int(round(w / (PITCH * scale)))
-    chars: list[str] = []
-    ink_vals: list[np.ndarray] = []
-    for i in range(n_cells):
-        x0 = i * PITCH * scale
-        cell = binary[:, x0 : x0 + GLYPH_W * scale]
-        if cell.shape[1] < GLYPH_W * scale:  # ragged tail
-            pad = np.zeros((h, GLYPH_W * scale - cell.shape[1]), dtype=bool)
-            cell = np.hstack([cell, pad])
-        if not cell.any():
-            chars.append(" ")
-            continue
-        # block-mean downsample to the 7x5 template grid
-        small = (
-            cell.reshape(GLYPH_H, scale, GLYPH_W, scale).mean(axis=(1, 3)) > 0.5
+    full_w = n_cells * PITCH * scale
+    if w < full_w:  # pad ragged tail with background
+        pad = np.full((h, full_w - w), 255, dtype=line_img.dtype)
+        line_img = np.hstack([line_img, pad])
+    binary = line_img < BINARIZE_THRESHOLD
+    # (h, n_cells, 6s) -> (n_cells, h, 5s): drop the gap column block
+    cells = binary.reshape(h, n_cells, PITCH * scale).transpose(1, 0, 2)[
+        :, :, : GLYPH_W * scale
+    ]
+    gray = line_img.reshape(h, n_cells, PITCH * scale).transpose(1, 0, 2)[
+        :, :, : GLYPH_W * scale
+    ]
+    nonempty = cells.any(axis=(1, 2))
+    # block-mean downsample all cells to the 7x5 template grid
+    small = (
+        cells.reshape(n_cells, GLYPH_H, scale, GLYPH_W, scale).mean(
+            axis=(2, 4)
         )
-        scores = (TEMPLATES == small).mean(axis=(1, 2))
-        chars.append(ALPHABET[int(np.argmax(scores))])
-        gray_cell = line_img[:, x0 : x0 + GLYPH_W * scale]
-        ink_vals.append(gray_cell[cell[:, : gray_cell.shape[1]]])
-    text = "".join(chars).rstrip(" ")
-    if ink_vals:
-        mean_ink = float(np.concatenate(ink_vals).mean())
+        > 0.5
+    )
+    # hamming match: (n_cells, n_glyphs) agreement fraction
+    scores = (small[:, None, :, :] == TEMPLATES[None, :, :, :]).mean(
+        axis=(2, 3)
+    )
+    best = scores.argmax(axis=1)
+    chars = np.where(nonempty, np.array(list(ALPHABET))[best], " ")
+    text = "".join(chars.tolist()).rstrip(" ")
+    n_ink = int(cells.sum())
+    if n_ink:
+        mean_ink = float(gray[cells].sum()) / n_ink
         conf = max(0.0, min(1.0, 1.0 - 2.0 * mean_ink / 255.0))
     else:
         conf = 1.0

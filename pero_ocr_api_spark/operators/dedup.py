@@ -125,20 +125,33 @@ def duckdb_md5_int_sql(expr: str, hex_digits: int) -> str:
 # -------------------------------------------------------------- minhash ---
 
 
-def _perm_min(sh_ints: Column, a: int, b: int) -> Column:
-    return F.array_min(
-        F.transform(
-            sh_ints,
-            lambda v: (v * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME),
-        )
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Integer MinHash signatures via explode + groupBy.
+
+    Shape matters at scale: exploding shingle hashes and taking k
+    ``min`` aggregates gets map-side partial aggregation (each of the
+    k minima combines locally before the single shuffle on id), and
+    every shingle is hashed exactly once — vs. a per-row array
+    expression where the optimizer inlines the shingle pipeline into
+    each of the k signature slots (k× recompute, no partials)."""
+    sh_ints = F.explode(
+        F.transform(shingles_col(F.col(text_col)), lambda s: md5_int_col(s, 7))
     )
-
-
-def minhash_signature_col(text: Column, k: int = MINHASH_K) -> Column:
-    """Integer MinHash: one md5 per shingle (28-bit int), then k cheap
-    (a*h+b) mod p permutation minima."""
-    sh_ints = F.transform(shingles_col(text), lambda s: md5_int_col(s, 7))
-    return F.array(*[_perm_min(sh_ints, a, b) for a, b in _minhash_coeffs(k)])
+    exploded = df.select(F.col(id_col), sh_ints.alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"_sig{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_coeffs(k))
+    ]
+    return exploded.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[f"_sig{i}" for i in range(k)]).alias("signature")
+    )
 
 
 def duckdb_shingle_ints_sql(expr: str) -> str:

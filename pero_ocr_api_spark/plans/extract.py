@@ -174,16 +174,32 @@ def media_path(
     media: DataFrame,
     config: dict[str, Any] | None = None,
     run_id: str = "run0",
+    udf_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Join media blobs + run the OCR kernel; returns (rows, lineage)."""
+    """Join media blobs + run the OCR kernel; returns (rows, lineage).
+
+    The explicit repartition before the UDF is load-bearing: the OCR
+    stage is compute-bound per row, not byte-bound, so AQE's
+    byte-sized coalescing would otherwise shrink this stage to a
+    handful of partitions and serialize the kernel. Hash on media_ref
+    (unique) → perfectly uniform spread regardless of doc skew."""
     cfg = {**kernel.DEFAULT_CONFIG, **(config or {})}
+    if udf_partitions is None:
+        # one partition per core: per-task Python round-trips carry a
+        # fixed cost, so bigger partitions beat finer ones as long as
+        # rows-per-partition stays balanced (media_ref is unique)
+        udf_partitions = spans.sparkSession.sparkContext.defaultParallelism
     joined = (
         spans.filter(F.col("kind") == "media")
         .select("doc_id", "offset", "media_ref")
         .join(media.select("media_ref", "media_kind", "media_bytes"), "media_ref", "left")
         .select("doc_id", "offset", "media_ref", "media_kind", "media_bytes")
+        .repartition(udf_partitions, "media_ref")
     )
     out = joined.mapInPandas(_media_map_fn(cfg, run_id), MEDIA_OUT_SCHEMA)
+    # the UDF output feeds two consumers (extracted rows + lineage);
+    # persist so the expensive OCR stage runs exactly once
+    out = out.persist()
     rows = out.filter(F.col("media_ref").isNull() | (F.col("media_ref") != LINEAGE_SENTINEL))
     lineage_raw = out.filter(F.col("media_ref") == LINEAGE_SENTINEL)
     lineage = lineage_raw.select(
@@ -205,6 +221,7 @@ def run_extract(
     run_id: str = "run0",
     resume_from: DataFrame | None = None,
     salt_buckets: int = 16,
+    udf_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline; returns (extracted, lineage) DataFrames.
 
@@ -224,7 +241,7 @@ def run_extract(
         F.col("s.offset").alias("offset"),
     )
     t_rows = text_path(spans)
-    m_rows, lineage = media_path(spans, media, config, run_id)
+    m_rows, lineage = media_path(spans, media, config, run_id, udf_partitions)
     m_rows = m_rows.withColumn("kind", F.lit("media"))
     extracted = restitch(t_rows.unionByName(m_rows), salt_buckets=salt_buckets)
     return extracted, lineage

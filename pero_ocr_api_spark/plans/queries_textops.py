@@ -171,9 +171,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """shingle → minhash → band → bucket-join: candidate near-dup
     pairs among docs ∪ mutated twins."""
     all_docs = _with_dups(_docs(spark, sf))
-    sigs = all_docs.select(
-        "doc_id", dedup.minhash_signature_col(F.col("text")).alias("signature")
-    )
+    sigs = dedup.minhash_signatures(all_docs)
     bands = dedup.lsh_bands_df(sigs)
     return dedup.lsh_candidate_pairs(bands)
 

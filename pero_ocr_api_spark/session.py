@@ -20,9 +20,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batch size for media-carrying stages: a 5 MP page decodes to
-# ~5 MB; 64 rows/batch keeps a batch under ~0.5 GB even for dense docs.
-MEDIA_ARROW_BATCH = 64
+# Arrow batch size for media-carrying stages. Sandbox fixture pages
+# are ~25 KB so 256 rows/batch ≈ 6 MB; production 5 MP pages would
+# tune this down (batch bytes ≈ rows x page size must fit worker
+# memory). Bigger batches amortize the per-batch Python/Arrow cost,
+# which measurably dominates at small batch sizes.
+MEDIA_ARROW_BATCH = 256
 
 
 def get_spark(
@@ -42,6 +45,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # Shuffle/spill dir: the sandbox root fs has very high syscall
+    # latency; tmpfs measurably removes a data-proportional tax on
+    # every shuffle. A real cluster would point this at local NVMe.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark_local"
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -59,6 +69,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
