@@ -8,12 +8,11 @@ otherwise-unique synthetic corpus — same construction in both engines.
 
 from __future__ import annotations
 
-import hashlib
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pero_ocr_api_spark.functions import text_stats as ts
+from pero_ocr_api_spark.operators import similarity
 from pero_ocr_api_spark.functions.html_clean import (
     clean_html_col,
     duckdb_clean_html_sql,
@@ -260,49 +259,64 @@ WHERE a.doc_id < {N_DUP_DOCS}
 """
 
 
-# --- brute-force cosine top-k (ANN baseline) --------------------------------------
+# --- similarity search (operators/similarity.py) ----------------------------------
 N_QUERY_VECS = 5
 TOP_K = 5
+EMB_DIM = 64
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+def _query_ids(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        read_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id")
     )
 
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact top-k cosine neighbors for the first N query vectors.
+    """Exact top-k cosine neighbors for the first N query vectors
+    (brute-force baseline; scale path is q_ann_topk)."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, _query_ids(spark, sf), TOP_K, EMB_DIM)
 
-    Brute force is the baseline: broadcast the tiny query side, one
-    pass over the corpus, per-query window top-k. The scale path is
-    q_ann_lsh_topk."""
-    emb = read_table(spark, sf, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (candidates share the query's
+    random-hyperplane bucket — the equi-join ANN scale path)."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.ann_topk(emb, _query_ids(spark, sf), TOP_K, EMB_DIM)
+
+
+def _sql_ann_topk() -> str:
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{_duckdb_bucket_sql('v', similarity.ANN_TABLE_PLANES, t)} AS bucket FROM emb"
+        for t in range(similarity.ANN_TABLES)
     )
-    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    emb = emb.withColumn("norm", norm)
-    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
-    )
-    sims = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
-            "qid",
-            "vec_id",
-            round_bin(
-                _dot(F.col("v"), F.col("qv"))
-                / (F.col("norm") * F.col("qn")),
-                4,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "vec_id", "cosine", "rn")
-    )
+    cos = "list_dot_product(a.v, q.v) / (a.norm * q.norm)"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+bucketed AS ({per_table}),
+qb AS (SELECT vec_id AS qid, t, bucket FROM bucketed WHERE vec_id < {N_QUERY_VECS}),
+cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id
+  FROM bucketed b JOIN qb USING (t, bucket)
+  WHERE b.vec_id != qb.qid
+),
+sims AS (
+  SELECT c.qid, c.vec_id, {duckdb_round_bin(cos, 4)} AS cosine
+  FROM cand c JOIN emb a ON a.vec_id = c.vec_id JOIN emb q ON q.vec_id = c.qid
+)
+SELECT qid, vec_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM sims
+) WHERE rn <= {TOP_K}
+"""
 
 
 def _sql_cosine_topk() -> str:
@@ -323,38 +337,14 @@ SELECT qid, vec_id, cosine, rn FROM (
 """
 
 
-# --- LSH-bucketed ANN (the scale path) ---------------------------------------------
-ANN_PLANES = 6
-EMB_DIM = 64
+# --- LSH bucket histogram (partition-key diagnostics) ------------------------------
 
 
-def _hyperplanes() -> list[list[int]]:
-    """Deterministic pseudo-random hyperplanes from md5 — computed
-    driver-side once, embedded as literals in both engines."""
-    planes = []
-    for p in range(ANN_PLANES):
-        row = []
-        for d in range(EMB_DIM):
-            h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
-            row.append(int(h[:2], 16) - 128)  # [-128, 127]
-        planes.append(row)
-    return planes
-
-
-def _bucket_col(v):
-    out = F.lit(0)
-    for p, w in enumerate(_hyperplanes()):
-        wl = F.array(*[F.lit(float(x)) for x in w])
-        dot = F.aggregate(
-            F.zip_with(v, wl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        out = out + F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out
-
-
-def _duckdb_bucket_sql(v: str) -> str:
+def _duckdb_bucket_sql(
+    v: str, planes: int = similarity.ANN_PLANES, table: int = 0
+) -> str:
     terms = []
-    for p, w in enumerate(_hyperplanes()):
+    for p, w in enumerate(similarity.hyperplanes(EMB_DIM, planes, table)):
         wl = "[" + ", ".join(f"{float(x)}" for x in w) + "]::DOUBLE[]"
         terms.append(
             f"(CASE WHEN list_dot_product({v}, {wl}) >= 0 THEN {2**p} ELSE 0 END)"
@@ -365,11 +355,9 @@ def _duckdb_bucket_sql(v: str) -> str:
 def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: the partition key for
     cluster-scale ANN (search only within bucket)."""
-    emb = read_table(spark, sf, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    emb = similarity.as_double_vec(read_table(spark, sf, "embeddings"))
     return (
-        emb.select(_bucket_col(F.col("v")).alias("bucket"))
+        emb.select(similarity.bucket_col(F.col("v"), EMB_DIM).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"))
     )
@@ -396,5 +384,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "simhash_buckets": (q_simhash_buckets, SQL_SIMHASH_BUCKETS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
+    "ann_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
 }

@@ -1,0 +1,112 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference has no streaming engine — its "stream" is a 2 s HTTP
+poll loop (``processing_client/run_client.py:290-340``) plus an
+APScheduler cron (``app/__init__.py:32-35``). The north rule keeps
+batch as the primary model (SURVEY.md §2.9); this module provides the
+documented mapping for deployments that want a continuously-fed
+documents table:
+
+=============================  =====================================
+reference mechanism            streaming analog here
+=============================  =====================================
+2 s poll loop                  micro-batch trigger (availableNow /
+                               processingTime)
+fair dequeue per poll          each micro-batch is a full fair batch
+60 s processing timeout (U6)   task retry + checkpoint replay
+7-day expiry (U7)              retention job stays batch (cron)
+upload_results per page        idempotent per-batch append
+=============================  =====================================
+
+Two entry points:
+
+* :func:`stream_clean_text` — fully streaming stateless plan (explode
+  → X9 cleaner → append sink). Shows the text path is
+  streaming-compatible as-is (pure Catalyst expressions).
+* :func:`stream_extract` — the complete pipeline via ``foreachBatch``:
+  each micro-batch runs the same ``run_extract`` used in batch mode
+  (media join + OCR UDF + salted stitch), writing parquet partitioned
+  by batch id. ``foreachBatch`` is the idiomatic bridge when a plan
+  needs multi-stage shuffles per batch; the streaming checkpoint
+  provides exactly-once batch replay, and writes are idempotent per
+  (batch_id) directory.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.functions.arabic import normalize_arabic_col
+from pero_ocr_api_spark.functions.html_clean import clean_html_col
+from pero_ocr_api_spark.plans.extract import run_extract
+from pero_ocr_api_spark.sources.tables import DOCUMENTS_SCHEMA
+
+
+def stream_clean_text(spark: SparkSession, input_path: str) -> DataFrame:
+    """Streaming stateless text path: one cleaned row per text/html
+    span. Returns the streaming DataFrame (caller attaches the sink)."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+    spans = stream.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+    cleaned = F.when(
+        F.col("kind") == "html", clean_html_col(F.col("text"))
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    return spans.filter(F.col("kind") != "media").select(
+        "doc_id", "offset", "kind", normalize_arabic_col(cleaned).alias("text")
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    media: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    config: dict[str, Any] | None = None,
+):
+    """Full extraction as a micro-batch stream over a documents
+    directory; processes everything available, then stops
+    (``availableNow`` — swap for ``processingTime`` in a live feed).
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted, lineage = run_extract(
+            spark,
+            batch_df,
+            media,
+            config=config,
+            run_id=f"stream_b{batch_id}",
+        )
+        # idempotent under checkpoint replay: a re-run of the same
+        # batch overwrites its own directory
+        extracted.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+        lineage.write.mode("overwrite").parquet(
+            f"{output_path}/_lineage/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

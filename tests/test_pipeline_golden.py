@@ -109,14 +109,35 @@ def test_lineage_rows(extracted_rows):
 
 
 def test_resume_anti_join(spark, docs_df, media_df):
-    """U6 analog: resume processes only not-yet-extracted docs."""
+    """U6/checkpoint analog (SURVEY §5.4): kill after a partial run,
+    resume, and the union must equal a full run exactly — no dup or
+    missing doc_ids, identical span content."""
+    from pyspark.sql import functions as F
+
+    def span_hashes(df):
+        return {
+            r.doc_id: r.h
+            for r in df.select(
+                "doc_id",
+                F.md5(
+                    F.concat_ws("|", F.to_json("spans"), "state").cast("binary")
+                ).alias("h"),
+            ).collect()
+        }
+
     first, _ = run_extract(spark, docs_df.limit(20), media_df, run_id="r1")
-    done = first.select("doc_id").cache()
-    n_done = done.count()
+    first = first.cache()
+    n_done = first.count()
     second, _ = run_extract(
-        spark, docs_df, media_df, run_id="r2", resume_from=done
+        spark, docs_df, media_df, run_id="r2", resume_from=first
     )
+    second = second.cache()
     remaining = second.select("doc_id").collect()
     assert len(remaining) == docs_df.count() - n_done
-    done_ids = {r.doc_id for r in done.collect()}
+    done_ids = {r.doc_id for r in first.select("doc_id").collect()}
     assert all(r.doc_id not in done_ids for r in remaining)
+    # resumed union == one-shot full run, doc by doc
+    full, _ = run_extract(spark, docs_df, media_df, run_id="full")
+    resumed = span_hashes(first) | span_hashes(second)
+    expected = span_hashes(full)
+    assert resumed == expected

@@ -1,0 +1,70 @@
+"""Streaming front-end: micro-batch extraction equals the batch run."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.plans.extract import run_extract
+from pero_ocr_api_spark.streaming.pipeline import stream_clean_text, stream_extract
+
+
+@pytest.fixture(scope="module")
+def staged(spark, docs_df, media_df):
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    # several input files → several micro-batches under maxFilesPerTrigger
+    docs_df.repartition(6).write.parquet(f"{d}/docs")
+    return d
+
+
+def _span_hash(df):
+    return (
+        df.select(
+            F.md5(
+                F.concat_ws(
+                    "|", "doc_id", F.to_json("spans"), "state",
+                    F.coalesce(F.col("score").cast("string"), F.lit("")),
+                ).cast("binary")
+            ).alias("h")
+        )
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .first()[0]
+    )
+
+
+def test_stream_extract_matches_batch(spark, docs_df, media_df, staged):
+    q = stream_extract(
+        spark,
+        f"{staged}/docs",
+        media_df,
+        f"{staged}/out",
+        f"{staged}/ckpt",
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(f"{staged}/out/batch_id=*")
+    batch, _ = run_extract(spark, docs_df, media_df, run_id="batchref")
+    assert streamed.count() == batch.count()
+    assert _span_hash(streamed) == _span_hash(batch)
+
+
+def test_stream_clean_text_rows(spark, docs_df, staged, corpus_pandas):
+    out_rows = []
+    sq = (
+        stream_clean_text(spark, f"{staged}/docs")
+        .writeStream.format("memory")
+        .queryName("cleaned_spans")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    got = spark.sql("select * from cleaned_spans")
+    docs_pdf, _ = corpus_pandas
+    expected = sum(
+        1 for _, d in docs_pdf.iterrows() for s in d["spans"] if s["kind"] != "media"
+    )
+    assert got.count() == expected
+    # boilerplate is stripped in-flight
+    assert got.filter(F.col("text").contains("var tracker")).count() == 0
