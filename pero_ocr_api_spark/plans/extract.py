@@ -149,11 +149,16 @@ def _media_map_fn(config: dict[str, Any], run_id: str):
     return fn
 
 
-def text_path(spans: DataFrame) -> DataFrame:
-    """X9 + X4 over text/html spans — pure JVM column expressions."""
-    cleaned = F.when(
-        F.col("kind") == "html", clean_html_col(F.col("text"))
-    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+def text_path(spans: DataFrame, engine=None) -> DataFrame:
+    """X9 + X4 over text/html spans — pure JVM column expressions.
+
+    The per-kind transform is dispatched through the engine registry
+    (plans/registry.py), the analog of the reference's engine/model
+    rows; the default engine wires html→cleaner, text→passthrough."""
+    from pero_ocr_api_spark.plans.registry import DEFAULT_ENGINE
+
+    eng = engine or DEFAULT_ENGINE
+    cleaned = eng.text_expr(F.col("kind"), F.col("text"))
     return spans.filter(F.col("kind") != "media").select(
         "doc_id",
         "offset",
@@ -222,6 +227,7 @@ def run_extract(
     resume_from: DataFrame | None = None,
     salt_buckets: int = 16,
     udf_partitions: int | None = None,
+    engine=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline; returns (extracted, lineage) DataFrames.
 
@@ -240,7 +246,9 @@ def run_extract(
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
-    t_rows = text_path(spans)
+    if engine is not None:
+        config = {**engine.kernel_config(), **(config or {})}
+    t_rows = text_path(spans, engine)
     m_rows, lineage = media_path(spans, media, config, run_id, udf_partitions)
     m_rows = m_rows.withColumn("kind", F.lit("media"))
     extracted = restitch(t_rows.unionByName(m_rows), salt_buckets=salt_buckets)

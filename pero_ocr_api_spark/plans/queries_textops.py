@@ -8,7 +8,7 @@ otherwise-unique synthetic corpus — same construction in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pero_ocr_api_spark.functions import text_stats as ts
@@ -337,6 +337,105 @@ SELECT qid, vec_id, cosine, rn FROM (
 """
 
 
+# --- embedding-cosine near-dup (the 5th dedup family) ------------------------------
+NEARDUP_OFFSET = 100_000
+N_NEARDUP = 20
+NEARDUP_THRESHOLD = 0.999
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate detection by embedding cosine: constructed
+    scaled twins (same direction ⇒ cosine 1.0) must pair with their
+    originals above the threshold. Candidates come from the LSH
+    buckets (scaled twins share all sign buckets with the original),
+    so this composes the ANN machinery into the dedup family."""
+    emb = read_table(spark, sf, "embeddings")
+    twins = emb.filter(F.col("vec_id") < N_NEARDUP).select(
+        (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"),
+        "label",
+    )
+    all_emb = emb.unionByName(twins)
+    qids = all_emb.filter(F.col("vec_id") >= NEARDUP_OFFSET).select("vec_id")
+    top1 = similarity.ann_topk(all_emb, qids, 1, EMB_DIM)
+    return top1.filter(F.col("cosine") >= NEARDUP_THRESHOLD).select(
+        (F.col("qid") - NEARDUP_OFFSET).alias("orig_id"),
+        F.col("vec_id").alias("dup_of"),
+        "cosine",
+    )
+
+
+def _sql_embedding_near_dup() -> str:
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{_duckdb_bucket_sql('v', similarity.ANN_TABLE_PLANES, t)} AS bucket FROM emb"
+        for t in range(similarity.ANN_TABLES)
+    )
+    cos = "list_dot_product(a.v, q.v) / (a.norm * q.norm)"
+    return f"""
+WITH all_emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEARDUP_OFFSET}, list_transform(embedding, x -> x * 1.1)
+  FROM embeddings WHERE vec_id < {N_NEARDUP}
+),
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM all_emb
+),
+bucketed AS ({per_table}),
+qb AS (SELECT vec_id AS qid, t, bucket FROM bucketed WHERE vec_id >= {NEARDUP_OFFSET}),
+cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id FROM bucketed b JOIN qb USING (t, bucket)
+  WHERE b.vec_id != qb.qid
+),
+sims AS (
+  SELECT c.qid, c.vec_id, {duckdb_round_bin(cos, 4)} AS cosine
+  FROM cand c JOIN emb a ON a.vec_id = c.vec_id JOIN emb q ON q.vec_id = c.qid
+),
+top1 AS (
+  SELECT qid, vec_id, cosine FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM sims
+  ) WHERE rn = 1
+)
+SELECT qid - {NEARDUP_OFFSET} AS orig_id, vec_id AS dup_of, cosine
+FROM top1 WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+# --- kNN label vote over exact top-k ------------------------------------------------
+def q_knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """Majority label among the exact top-5 neighbors per query
+    (deterministic tie-break: count desc, label asc)."""
+    emb = read_table(spark, sf, "embeddings")
+    topk = similarity.cosine_topk(emb, _query_ids(spark, sf), TOP_K, EMB_DIM)
+    labeled = topk.join(emb.select("vec_id", "label"), "vec_id")
+    counts = labeled.groupBy("qid", "label").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), "label")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+def _sql_knn_label_vote() -> str:
+    return f"""
+WITH topk AS ({_sql_cosine_topk()}),
+counts AS (
+  SELECT t.qid, e.label, count(*) AS votes
+  FROM topk t JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT qid, label AS predicted_label, votes FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY votes DESC, label) AS rn FROM counts
+) WHERE rn = 1
+"""
+
+
 # --- LSH bucket histogram (partition-key diagnostics) ------------------------------
 
 
@@ -386,4 +485,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
+    "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
+    "knn_label_vote": (q_knn_label_vote, _sql_knn_label_vote()),
 }
