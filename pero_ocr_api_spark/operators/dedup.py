@@ -231,7 +231,9 @@ def _bit_balance(vals: Column, b: int) -> Column:
 
 
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Sign-aggregate simhash over 16-bit md5 token hashes."""
+    """Sign-aggregate simhash over 16-bit md5 token hashes (per-row
+    Column form; prefer :func:`simhash_signatures` for whole-table
+    hashing — it gets map-side partial aggregation)."""
     vals = F.transform(
         F.array_distinct(tokens_col(text)), lambda t: md5_int_col(t, 4)
     )
@@ -241,6 +243,37 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
             F.lit(0)
         )
     return out
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash via explode + groupBy: each token hashed once, the 16
+    per-bit ±1 balances combine map-side before one shuffle on id —
+    the same shape as :func:`minhash_signatures`, and the layout that
+    survives a 100x scale-up."""
+    vals = F.explode(
+        F.transform(
+            F.array_distinct(tokens_col(F.col(text_col))),
+            lambda t: md5_int_col(t, 4),
+        )
+    )
+    exploded = df.select(F.col(id_col), vals.alias("h"))
+    aggs = [
+        F.sum(
+            (F.floor(F.col("h") / F.lit(2**b)).cast("int") % 2) * 2 - 1
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per_bit = exploded.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_bit.select(id_col, sim.alias("simhash"))
 
 
 def duckdb_simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:

@@ -204,7 +204,7 @@ def q_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit simhash per doc, aggregated into bucket histogram."""
     docs = _docs(spark, sf)
     return (
-        docs.select(dedup.simhash_col(F.col("text")).alias("simhash"))
+        dedup.simhash_signatures(docs)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"))
     )
