@@ -82,6 +82,11 @@ FONT: dict[str, np.ndarray] = {ch: _bitmap(rows) for ch, rows in _FONT_ROWS.item
 
 # stacked template tensor for vectorized matching: (n_glyphs, 7, 5)
 TEMPLATES = np.stack([FONT[ch] for ch in ALPHABET])
+# flattened float form + per-template ink counts for matmul matching
+_TEMPLATES_F = TEMPLATES.reshape(len(ALPHABET), GLYPH_H * GLYPH_W).astype(
+    np.float32
+)
+_TEMPLATES_ONES = _TEMPLATES_F.sum(axis=1)
 
 
 def render_line(
@@ -138,18 +143,19 @@ def decode_cells(line_img: np.ndarray, scale: int) -> tuple[str, float]:
         :, :, : GLYPH_W * scale
     ]
     nonempty = cells.any(axis=(1, 2))
-    # block-mean downsample all cells to the 7x5 template grid
-    small = (
-        cells.reshape(n_cells, GLYPH_H, scale, GLYPH_W, scale).mean(
-            axis=(2, 4)
-        )
-        > 0.5
+    # block-mean downsample to the 7x5 grid; integer form of mean>0.5
+    # (sum*2 > scale^2) — exact, no float conversion
+    counts = (
+        cells.astype(np.uint8)
+        .reshape(n_cells, GLYPH_H, scale, GLYPH_W, scale)
+        .sum(axis=(2, 4), dtype=np.int32)
     )
-    # hamming match: (n_cells, n_glyphs) agreement fraction
-    scores = (small[:, None, :, :] == TEMPLATES[None, :, :, :]).mean(
-        axis=(2, 3)
-    )
-    best = scores.argmax(axis=1)
+    small = counts * 2 > scale * scale
+    # template match via matmul: agreement = 35 - |s|1 - |t|1 + 2<s,t>,
+    # argmax over templates == argmax(2<s,t> - |t|1) (|s|1 constant per
+    # cell) — same ordering and tie-break as the hamming-mean form
+    sf = small.reshape(n_cells, GLYPH_H * GLYPH_W).astype(np.float32)
+    best = (2.0 * (sf @ _TEMPLATES_F.T) - _TEMPLATES_ONES).argmax(axis=1)
     chars = np.where(nonempty, np.array(list(ALPHABET))[best], " ")
     text = "".join(chars.tolist()).rstrip(" ")
     n_ink = int(cells.sum())
