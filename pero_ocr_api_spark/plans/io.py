@@ -1,0 +1,54 @@
+"""Idempotent output writing + resume bookkeeping.
+
+Production target is Iceberg (``MERGE INTO extracted USING new ON
+doc_id``); the sandbox equivalent keeps the same contract on plain
+parquet:
+
+* :func:`write_extracted` — appends only doc_ids not already present
+  (anti-join against the existing table), so task retries and job
+  re-runs never duplicate a document — exactly-once per doc_id, the
+  batch analog of the reference's at-least-once queue + idempotent
+  page-state update (``general.py:210-224`` guarded by PK).
+* :func:`read_done_ids` — the checkpoint read used to build the
+  ``resume_from`` anti-join in ``run_extract``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def read_done_ids(spark: SparkSession, path: str) -> DataFrame | None:
+    if not _exists(spark, path):
+        return None
+    return spark.read.parquet(path).select("doc_id")
+
+
+def write_extracted(
+    spark: SparkSession, extracted: DataFrame, path: str
+) -> int:
+    """Merge-append: write only docs not already in `path`.
+
+    Returns the number of rows written. On Iceberg this is one
+    ``MERGE INTO``; here: anti-join + append (safe because doc_id is
+    the primary key and a doc's row is immutable once written)."""
+    done = read_done_ids(spark, path)
+    new_rows = (
+        extracted if done is None else extracted.join(done, "doc_id", "left_anti")
+    )
+    new_rows = new_rows.cache()
+    n = new_rows.count()
+    if n:
+        new_rows.write.mode("append").parquet(path)
+    new_rows.unpersist()
+    return n
