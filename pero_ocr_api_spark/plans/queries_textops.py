@@ -473,6 +473,132 @@ FROM emb GROUP BY 1
 """
 
 
+# --- composed curation pipelines ---------------------------------------------------
+
+
+def q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """Full dedup pass: drop exact-fingerprint duplicates, then drop
+    LSH-candidate near-dups verified by Jaccard >= 0.5 (keep the
+    lowest doc_id of each group) — the canonical two-stage
+    cheap-filter → exact-verify shape. Emits per-lang keep counts."""
+    all_docs = _with_dups(_docs(spark, sf))
+    fp = all_docs.select(
+        "doc_id", "lang", ts.fingerprint_col(F.col("text")).alias("fp")
+    )
+    w_exact = Window.partitionBy("fp").orderBy("doc_id")
+    exact_kept = (
+        fp.withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    # near-dup pairs among survivors: LSH candidates + Jaccard verify
+    survivors = all_docs.join(exact_kept.select("doc_id"), "doc_id")
+    sigs = dedup.minhash_signatures(survivors)
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands_df(sigs))
+    sh = survivors.select("doc_id", dedup.shingles_col(F.col("text")).alias("sh"))
+    verified = (
+        pairs.join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+        .filter(dedup.jaccard_col(F.col("sh1"), F.col("sh2")) >= 0.5)
+        .select(F.col("id2").alias("doc_id"))  # id1 < id2: drop the higher
+        .distinct()
+    )
+    kept = exact_kept.join(verified, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+def _sql_dedup_keep_list() -> str:
+    ints = dedup.duckdb_shingle_ints_sql("text")
+    sig = dedup.duckdb_minhash_from_ints_sql("ints")
+    rows = dedup.MINHASH_K // dedup.LSH_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(dedup.LSH_BANDS)
+    )
+    sh = dedup.duckdb_shingles_sql("text")
+    jac = dedup.duckdb_jaccard_sql("s1.sh", "s2.sh")
+    return f"""
+WITH all_docs AS ({SQL_WITH_DUPS}),
+fp AS (
+  SELECT doc_id, lang, {ts.duckdb_fingerprint_sql('text')} AS fp FROM all_docs
+),
+exact_kept AS (
+  SELECT doc_id, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp
+  ) WHERE rn = 1
+),
+survivors AS (SELECT a.* FROM all_docs a JOIN exact_kept USING (doc_id)),
+sh_ints AS (SELECT doc_id, {ints} AS ints FROM survivors),
+sigs AS (SELECT doc_id, {sig} AS sig FROM sh_ints),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+shingled AS (SELECT doc_id, {sh} AS sh FROM survivors),
+verified AS (
+  SELECT DISTINCT p.id2 AS doc_id
+  FROM pairs p
+  JOIN shingled s1 ON s1.doc_id = p.id1
+  JOIN shingled s2 ON s2.doc_id = p.id2
+  WHERE {jac} >= 0.5
+)
+SELECT lang, count(*) AS n_kept
+FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM verified)
+GROUP BY lang
+"""
+
+
+QUALITY_MIN = 0.55
+TOKENS_MIN, TOKENS_MAX = 10, 2000
+
+
+def q_training_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation filter chain a pretraining pipeline runs per doc:
+    language-ID agreement, quality threshold, token-count band —
+    emitted as per-source funnel counts (all JVM expressions, one
+    scan + one aggregate)."""
+    docs = _docs(spark, sf)
+    t = F.col("text")
+    flags = docs.select(
+        "source",
+        (ts.lang_guess_col(t) == F.col("lang")).alias("lang_ok"),
+        (ts.quality_score_col(t) >= QUALITY_MIN).alias("quality_ok"),
+        ts.token_count_col(t).between(TOKENS_MIN, TOKENS_MAX).alias("len_ok"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("lang_ok").cast("int")).alias("n_lang_ok"),
+        F.sum((F.col("lang_ok") & F.col("quality_ok")).cast("int")).alias(
+            "n_quality_ok"
+        ),
+        F.sum(
+            (F.col("lang_ok") & F.col("quality_ok") & F.col("len_ok")).cast("int")
+        ).alias("n_kept"),
+    )
+
+
+def _sql_training_filter_pipeline() -> str:
+    lang_ok = f"({ts.duckdb_lang_guess_sql('text')} = lang)"
+    quality_ok = f"({ts.duckdb_quality_score_sql('text')} >= {QUALITY_MIN})"
+    len_ok = (
+        f"({ts.duckdb_token_count_sql('text')} BETWEEN {TOKENS_MIN} AND {TOKENS_MAX})"
+    )
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN {lang_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       CAST(sum(CASE WHEN {lang_ok} AND {quality_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       CAST(sum(CASE WHEN {lang_ok} AND {quality_ok} AND {len_ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "clean_html_docs": (q_clean_html_docs, _sql_clean_html_docs()),
     "lang_guess_counts": (q_lang_guess_counts, SQL_LANG_GUESS_COUNTS),
@@ -487,4 +613,9 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "knn_label_vote": (q_knn_label_vote, _sql_knn_label_vote()),
+    "dedup_keep_list": (q_dedup_keep_list, _sql_dedup_keep_list()),
+    "training_filter_pipeline": (
+        q_training_filter_pipeline,
+        _sql_training_filter_pipeline(),
+    ),
 }
