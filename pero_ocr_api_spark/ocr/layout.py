@@ -112,14 +112,19 @@ def _xy_cut(small: np.ndarray, y0: int, x0: int, horizontal: bool) -> list[tuple
         return out
 
 
-def _pool_max(binary: np.ndarray, k: int) -> np.ndarray:
-    h, w = binary.shape
+def _pool_ink(gray: np.ndarray, k: int) -> np.ndarray:
+    """Downsampled ink mask: min-pool the gray image then threshold —
+    identical to max-pooling the binarized image, without
+    materializing a full-resolution bool plane (one less full-image
+    pass; the kernel is memory-bandwidth-bound)."""
+    h, w = gray.shape
     ph = (k - h % k) % k
     pw = (k - w % k) % k
     if ph or pw:
-        binary = np.pad(binary, ((0, ph), (0, pw)))
-    h2, w2 = binary.shape
-    return binary.reshape(h2 // k, k, w2 // k, k).any(axis=(1, 3))
+        gray = np.pad(gray, ((0, ph), (0, pw)), constant_values=255)
+    h2, w2 = gray.shape
+    pooled = gray.reshape(h2 // k, k, w2 // k, k).min(axis=(1, 3))
+    return pooled < glyphs.BINARIZE_THRESHOLD
 
 
 def analyze_page(gray: np.ndarray, scale: int) -> list[Block]:
@@ -128,15 +133,15 @@ def analyze_page(gray: np.ndarray, scale: int) -> list[Block]:
         raise LayoutError(
             f"image over {MAX_MEGAPIXELS} MP: {gray.shape}"
         )
-    binary = gray < glyphs.BINARIZE_THRESHOLD
-    small = _pool_max(binary, DOWNSAMPLE)
+    small = _pool_ink(gray, DOWNSAMPLE)
     blocks: list[Block] = []
     for sy0, sx0, sy1, sx1 in _xy_cut(small, 0, 0, True):
-        # map back to full res and tighten to the exact ink bbox
+        # map back to full res and tighten to the exact ink bbox;
+        # binarize lazily per region (block crops are small vs page)
         fy0, fx0 = sy0 * DOWNSAMPLE, sx0 * DOWNSAMPLE
-        fy1 = min(sy1 * DOWNSAMPLE, binary.shape[0])
-        fx1 = min(sx1 * DOWNSAMPLE, binary.shape[1])
-        region = binary[fy0:fy1, fx0:fx1]
+        fy1 = min(sy1 * DOWNSAMPLE, gray.shape[0])
+        fx1 = min(sx1 * DOWNSAMPLE, gray.shape[1])
+        region = gray[fy0:fy1, fx0:fx1] < glyphs.BINARIZE_THRESHOLD
         rr = np.flatnonzero(region.any(axis=1))
         cc = np.flatnonzero(region.any(axis=0))
         if rr.size == 0:
@@ -144,7 +149,7 @@ def analyze_page(gray: np.ndarray, scale: int) -> list[Block]:
         by0, by1 = fy0 + rr[0], fy0 + rr[-1] + 1
         bx0, bx1 = fx0 + cc[0], fx0 + cc[-1] + 1
         block = Block(y0=by0, x0=bx0, y1=by1, x1=bx1, lines=[])
-        brows = binary[by0:by1, bx0:bx1]
+        brows = region[rr[0] : rr[-1] + 1, cc[0] : cc[-1] + 1]
         for ly0, ly1 in _gap_runs(brows.any(axis=1), 1):
             h = ly1 - ly0
             if h != glyphs.GLYPH_H * scale:
