@@ -106,12 +106,11 @@ def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
 
 def md5_int_col(col: Column, hex_digits: int) -> Column:
     """First `hex_digits` hex chars of md5 parsed to a long — the
-    engine-portable integer hash (F.hash/duckdb hash() differ)."""
+    engine-portable integer hash (F.hash/duckdb hash() differ).
+    Spark side uses one `conv` call; the DuckDB twin keeps the
+    strpos-polynomial form — identical values either way."""
     h = F.md5(col.cast("binary"))
-    out = F.lit(0).cast("long")
-    for i in range(hex_digits):
-        out = out * 16 + (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1)
-    return out
+    return F.conv(F.substring(h, 1, hex_digits), 16, 10).cast("long")
 
 
 def duckdb_md5_int_sql(expr: str, hex_digits: int) -> str:
@@ -138,7 +137,14 @@ def minhash_signatures(
     k minima combines locally before the single shuffle on id), and
     every shingle is hashed exactly once — vs. a per-row array
     expression where the optimizer inlines the shingle pipeline into
-    each of the k signature slots (k× recompute, no partials)."""
+    each of the k signature slots (k× recompute, no partials).
+
+    Note on parallelism: a single small input file scans as 1-2
+    partitions; at real scale the input is many files/buckets and the
+    hash compute spreads naturally. An explicit repartition here
+    measured *slower* on the sandbox (adds a shuffle + AQE re-plan
+    that costs more than the 2-core hashing it parallelizes) — so the
+    spread is left to the input layout, where it belongs."""
     sh_ints = F.explode(
         F.transform(shingles_col(F.col(text_col)), lambda s: md5_int_col(s, 7))
     )

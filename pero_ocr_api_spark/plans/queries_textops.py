@@ -171,7 +171,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     pairs among docs ∪ mutated twins."""
     all_docs = _with_dups(_docs(spark, sf))
     sigs = dedup.minhash_signatures(all_docs)
-    bands = dedup.lsh_bands_df(sigs)
+    # cached: the candidate join is a self-join of this DF
+    bands = dedup.lsh_bands_df(sigs).cache()
     return dedup.lsh_candidate_pairs(bands)
 
 
@@ -491,11 +492,16 @@ def q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang")
     )
-    # near-dup pairs among survivors: LSH candidates + Jaccard verify
+    # near-dup pairs among survivors: LSH candidates + Jaccard verify.
+    # The bands DF self-joins and the shingle DF joins twice — cache
+    # both so the shingle/md5 pipeline runs once, not once per branch.
     survivors = all_docs.join(exact_kept.select("doc_id"), "doc_id")
     sigs = dedup.minhash_signatures(survivors)
-    pairs = dedup.lsh_candidate_pairs(dedup.lsh_bands_df(sigs))
-    sh = survivors.select("doc_id", dedup.shingles_col(F.col("text")).alias("sh"))
+    bands = dedup.lsh_bands_df(sigs).cache()
+    pairs = dedup.lsh_candidate_pairs(bands)
+    sh = survivors.select(
+        "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
+    ).cache()
     verified = (
         pairs.join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1")
         .join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2")
