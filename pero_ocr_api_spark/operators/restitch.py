@@ -75,10 +75,12 @@ def restitch(span_rows: DataFrame, salt_buckets: int = 16) -> DataFrame:
     # F.get is 0-based and null-safe out of bounds (ANSI mode safe)
     v_lo = F.get("o_confs", lo)
     v_hi = F.get("o_confs", lo + 1)
-    # np.quantile(v, .5) linear interpolation; exact same arithmetic as
-    # the oracle's kernel.doc_score
+    # np.quantile(v, .5) bit-exact: for t=0.5 numpy's _lerp uses the
+    # upper-anchored form b - (b-a)*0.5 (not a + (b-a)*0.5 — they can
+    # differ by one ulp, which flips a rounding boundary; found by
+    # the hypothesis property test)
     median = F.when(h == lo.cast("double"), v_lo).otherwise(
-        v_lo + (v_hi - v_lo) * (h - lo.cast("double"))
+        v_hi - (v_hi - v_lo) * 0.5
     )
     score = F.when(n == 0, F.lit(100.0)).otherwise(F.round(median * 100.0, 2))
 
