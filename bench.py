@@ -131,27 +131,73 @@ def main() -> None:
     }
 
     if do_scaling:
-        # best-of-3: the sandbox VM shows intermittent multi-second
-        # stalls (host steal); min is the robust estimator here
-        scale_docs = bench_docs
-        lo = _run_extract_bench(_fresh_spark(scale_lo), scale_docs, runs=3)
-        hi = _run_extract_bench(_fresh_spark(scale_hi), scale_docs, runs=3)
-        speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
-        eff = speedup / (scale_hi / scale_lo)
-        result["scaling"] = {
-            "cores_lo": scale_lo,
-            "cores_hi": scale_hi,
-            "docs": scale_docs,
-            "docs_per_sec_lo": lo["docs_per_sec"],
-            "docs_per_sec_hi": hi["docs_per_sec"],
-            "speedup": round(speedup, 3),
-            "efficiency": round(eff, 3),
-        }
+        result["scaling"] = _scaling_pass(scale_lo, scale_hi, bench_docs)
 
-    from pero_ocr_api_spark.session import stop_spark
-
-    stop_spark()
     print(json.dumps(result))
+    sys.stdout.flush()
+    # py4j shutdown can hang in this sandbox after the last session
+    # stop; the JSON line is out, so exit hard rather than risk the
+    # caller waiting on a zombie
+    os._exit(0)
+
+
+def _stage_corpus(n_docs: int, path: str) -> None:
+    from pero_ocr_api_spark.corpus import generate_spark
+
+    spark = _fresh_spark(8)
+    docs, media = generate_spark(spark, n_docs, seed=1234)
+    docs.write.mode("overwrite").parquet(f"{path}/docs")
+    media.write.mode("overwrite").parquet(f"{path}/media")
+
+
+def _measure_once(cores: int, path: str, run_id: str) -> float:
+    """Fresh session, staged corpus, warmed workers, one timed run.
+
+    Returns docs/sec."""
+    from pero_ocr_api_spark.plans.extract import run_extract
+
+    spark = _fresh_spark(cores)
+    docs = spark.read.parquet(f"{path}/docs").cache()
+    media = spark.read.parquet(f"{path}/media").cache()
+    n = docs.count()
+    media.count()
+    warm, _ = run_extract(spark, docs.limit(50), media, run_id=f"w{run_id}")
+    warm.count()
+    t0 = time.monotonic()
+    extracted, _ = run_extract(spark, docs, media, run_id=run_id)
+    extracted.count()
+    return n / (time.monotonic() - t0)
+
+
+def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int, rounds: int = 4) -> dict:
+    """Interleaved lo/hi measurement over identical staged input.
+
+    The sandbox VM suffers multi-minute host-steal windows that can
+    slow any single run ~4x; interleaving means a degraded patch hits
+    both core counts, and best-of-rounds drops it entirely."""
+    import tempfile
+
+    staging = tempfile.mkdtemp(
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        prefix="bench_corpus_",
+    )
+    _stage_corpus(n_docs, staging)
+    lo_rates, hi_rates = [], []
+    for r in range(rounds):
+        lo_rates.append(_measure_once(scale_lo, staging, f"lo{r}"))
+        hi_rates.append(_measure_once(scale_hi, staging, f"hi{r}"))
+    lo, hi = max(lo_rates), max(hi_rates)
+    return {
+        "cores_lo": scale_lo,
+        "cores_hi": scale_hi,
+        "docs": n_docs,
+        "docs_per_sec_lo": round(lo, 2),
+        "docs_per_sec_hi": round(hi, 2),
+        "samples_lo": [round(x, 1) for x in lo_rates],
+        "samples_hi": [round(x, 1) for x in hi_rates],
+        "speedup": round(hi / lo, 3),
+        "efficiency": round(hi / lo / (scale_hi / scale_lo), 3),
+    }
 
 
 if __name__ == "__main__":
