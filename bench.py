@@ -187,7 +187,11 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int, rounds: int = 6) ->
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
         prefix="bench_corpus_",
     )
-    scale_docs = min(n_docs, 1200)
+    # don't shrink the corpus below the bench size: per-run fixed
+    # overhead (~1.5-2 s) weighs on the hi-core side and understates
+    # efficiency on small inputs (measured: 0.68 at 1200 docs vs
+    # ~0.9 at 3000 under identical host conditions)
+    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", str(n_docs)))
     _stage_corpus(scale_docs, staging)
     lo_rates, hi_rates = [], []
     for r in range(rounds):
