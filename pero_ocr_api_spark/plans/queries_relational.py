@@ -480,7 +480,63 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+# --- A5 union shape: 24h window ∪ live states (general.py:188-207) ----------
+def q_union_window_live(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's two-scan union: recent events plus all live
+    error/signup rows, deduplicated then counted per type."""
+    events = read_table(spark, sf, "events")
+    recent = events.filter(
+        (F.col("ts") >= F.lit(EVENTS_DAY_AGO)) & (F.col("ts") < F.lit(EVENTS_NOW))
+    ).select("event_id", "event_type")
+    live = events.filter(F.col("event_type").isin("error", "signup")).select(
+        "event_id", "event_type"
+    )
+    return (
+        recent.union(live)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_UNION_WINDOW_LIVE = f"""
+SELECT event_type, count(*) AS n_events FROM (
+  SELECT event_id, event_type FROM events
+  WHERE ts >= TIMESTAMP '{EVENTS_DAY_AGO}' AND ts < TIMESTAMP '{EVENTS_NOW}'
+  UNION
+  SELECT event_id, event_type FROM events
+  WHERE event_type IN ('error', 'signup')
+) GROUP BY event_type
+"""
+
+
+# --- get_engine_dict shape (general.py:70-77): grouped sorted lists ----------
+def q_engine_dict(spark: SparkSession, sf: str) -> DataFrame:
+    """Region → sorted member-nation list, one windowless aggregate
+    (the reference built this dict with an N+1 loop per engine)."""
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+    )
+
+
+SQL_ENGINE_DICT = """
+SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "union_window_live": (q_union_window_live, SQL_UNION_WINDOW_LIVE),
+    "engine_dict": (q_engine_dict, SQL_ENGINE_DICT),
     "state_histogram": (q_state_histogram, SQL_STATE_HISTOGRAM),
     "usage_statistics": (q_usage_statistics, SQL_USAGE_STATISTICS),
     "fair_dequeue": (q_fair_dequeue, SQL_FAIR_DEQUEUE),

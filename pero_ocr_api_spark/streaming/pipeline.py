@@ -67,6 +67,116 @@ def stream_clean_text(spark: SparkSession, input_path: str) -> DataFrame:
     )
 
 
+EVENTS_STREAM_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def stream_event_window_counts(
+    spark: SparkSession,
+    input_path: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """A5's statistics histogram as a streaming windowed aggregate
+    with late-data handling: per (event-time window, type) counts,
+    watermark bounds state (the 24 h scan becomes incremental).
+    Append mode emits a window once the watermark passes its end —
+    the streaming analog of the reference's daily/interval stats jobs
+    (app/__init__.py:32-35)."""
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# --- U6 as a custom stateful operator (applyInPandasWithState) -------------
+
+PAGE_EVENT_SCHEMA = "page_id string, state string, ts timestamp"
+REQUEUE_SCHEMA = "page_id string, action string, stuck_since timestamp"
+_TIMEOUT_STATE_SCHEMA = "processing_ts long"
+PROCESSING_TIMEOUT_S = 60  # app/__init__.py:80-83
+
+
+def _timeout_fn(key, pdfs, state):
+    """Per-page state machine: remember when PROCESSING started; if
+    the event-time watermark passes start+60 s with no terminal
+    event, emit a requeue row (U6, app/__init__.py:76-124)."""
+    import pandas as pd
+
+    page_id = key[0]
+    terminal = {"PROCESSED", "CANCELED", "NOT_FOUND", "INVALID_FILE",
+                "PROCESSING_FAILED"}
+    if state.hasTimedOut:
+        (processing_ts,) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "page_id": [page_id],
+                "action": ["REQUEUE_WAITING"],
+                "stuck_since": [pd.Timestamp(processing_ts, unit="us")],
+            }
+        )
+        return
+    latest_processing = None
+    finished = False
+    for pdf in pdfs:
+        for _, row in pdf.sort_values("ts").iterrows():
+            if row["state"] == "PROCESSING":
+                latest_processing = row["ts"]
+                finished = False
+            elif row["state"] in terminal:
+                finished = True
+    if finished:
+        state.remove()
+    elif latest_processing is not None:
+        nanos = int(pd.Timestamp(latest_processing).value)
+        state.update((nanos // 1000,))  # store micros
+        # timeout at processing_ts + 60 s (epoch millis)
+        state.setTimeoutTimestamp(nanos // 1_000_000 + PROCESSING_TIMEOUT_S * 1000)
+    return
+    yield  # pragma: no cover — make this a generator
+
+
+def stream_timeout_requeue(
+    spark: SparkSession,
+    input_path: str,
+    watermark_delay: str = "5 seconds",
+) -> DataFrame:
+    """Custom stateful streaming operator: pages stuck in PROCESSING
+    longer than 60 s of event time are requeued — the reference's
+    APScheduler watchdog as applyInPandasWithState with an
+    event-time timeout keyed by page."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(PAGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy("page_id")
+        .applyInPandasWithState(
+            _timeout_fn,
+            outputStructType=REQUEUE_SCHEMA,
+            stateStructType=_TIMEOUT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_path: str,
