@@ -202,24 +202,101 @@ def lsh_bands_df(
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Self-join on (band_idx, band_hash); id1 < id2; distinct pairs.
+MAX_BUCKET = 64  # clique→star switchover: bounds per-bucket fan-out
 
-    The join key is a uniform hash → no skew; at scale this is the
-    standard shuffle-on-bucket join, never an all-pairs product.
-    """
-    left = bands_df.select(
-        F.col(id_col).alias("id1"), "band_idx", "band_hash"
+
+def lsh_bucket_sizes(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per (band_idx, band_hash) bucket: member count + min id — the
+    skew diagnostic and the representative for oversized buckets."""
+    return bands_df.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_n"),
+        F.min(id_col).alias("bucket_min_id"),
     )
-    right = bands_df.select(
-        F.col(id_col).alias("id2"), "band_idx", "band_hash"
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs from the banded buckets, skew-guarded.
+
+    Buckets of n ≤ ``max_bucket`` members self-join into the full
+    clique (n·(n-1)/2 pairs — the exact LSH semantics). Oversized
+    buckets — on real web data these are boilerplate-identical
+    mega-groups, and an unguarded self-join makes O(n²) shuffle rows —
+    collapse to a *star*: every member pairs with the bucket's min id
+    (n-1 rows, linear). The star keeps dedup connectivity intact: the
+    downstream verify + keep-min-id pass still drops every true
+    duplicate against the representative.
+
+    ``max_bucket=None`` restores the unguarded clique join.
+    Use :func:`lsh_bucket_sizes` to surface the bucket histogram /
+    truncation count as a metric."""
+    if max_bucket is None:
+        left = bands_df.select(
+            F.col(id_col).alias("id1"), "band_idx", "band_hash"
+        )
+        right = bands_df.select(
+            F.col(id_col).alias("id2"), "band_idx", "band_hash"
+        )
+        return (
+            left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+    sized = bands_df.join(
+        lsh_bucket_sizes(bands_df, id_col), ["band_idx", "band_hash"]
     )
-    return (
-        left.join(right, ["band_idx", "band_hash"])
+    small = sized.filter(F.col("bucket_n") <= max_bucket)
+    clique = (
+        small.select(F.col(id_col).alias("id1"), "band_idx", "band_hash")
+        .join(
+            small.select(F.col(id_col).alias("id2"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
     )
+    star = (
+        sized.filter(
+            (F.col("bucket_n") > max_bucket)
+            & (F.col(id_col) != F.col("bucket_min_id"))
+        )
+        .select(F.col("bucket_min_id").alias("id1"), F.col(id_col).alias("id2"))
+    )
+    return clique.unionByName(star).distinct()
+
+
+def duckdb_capped_pairs_sql(
+    bands_cte: str = "bands",
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs` (capped form) as a
+    SELECT over an existing bands CTE (doc_id, band_idx, band_hash)."""
+    return f"""
+SELECT DISTINCT id1, id2 FROM (
+  SELECT a.{id_col} AS id1, b.{id_col} AS id2
+  FROM sized a JOIN sized b USING (band_idx, band_hash)
+  WHERE a.bucket_n <= {max_bucket} AND a.{id_col} < b.{id_col}
+  UNION ALL
+  SELECT bucket_min_id AS id1, {id_col} AS id2
+  FROM sized WHERE bucket_n > {max_bucket} AND {id_col} != bucket_min_id
+)"""
+
+
+def duckdb_sized_cte_sql(bands_cte: str = "bands", id_col: str = "doc_id") -> str:
+    """The `sized` CTE body pairing each band row with its bucket's
+    count + min id (twin of :func:`lsh_bucket_sizes` joined back)."""
+    return f"""
+SELECT {bands_cte}.*, s.bucket_n, s.bucket_min_id
+FROM {bands_cte} JOIN (
+  SELECT band_idx, band_hash, count(*) AS bucket_n,
+         min({id_col}) AS bucket_min_id
+  FROM {bands_cte} GROUP BY 1, 2
+) s USING (band_idx, band_hash)"""
 
 
 # -------------------------------------------------------------- simhash ---

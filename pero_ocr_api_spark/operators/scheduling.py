@@ -70,6 +70,45 @@ def processed_counts_last_window(
     )
 
 
+def global_rank(
+    df: DataFrame, sort_cols: list[str], rank_col: str = "rank"
+) -> DataFrame:
+    """Exact global ``row_number()`` computed distributively.
+
+    A plain ``Window.orderBy(...)`` funnels every row through one
+    reducer (``Exchange SinglePartition``) — the task that kills a
+    100x-scale job. Instead:
+
+    1. ``repartitionByRange`` on the sort key — partition *i*'s rows
+       all order before partition *i+1*'s (the sort key here ends in
+       a unique id, so boundaries are unambiguous);
+    2. ``row_number()`` within each range partition (window keyed by
+       ``spark_partition_id()`` — fully parallel);
+    3. prefix-sum of per-partition row counts to offset the local
+       ranks — a P-row aggregate (P = shuffle partitions), so *its*
+       single-partition window moves metadata, not data.
+
+    One lazy plan, no ``collect()``; with AQE the range exchange is
+    shared between the count branch and the rank branch
+    (ReusedExchange)."""
+    arranged = df.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    local = arranged.withColumn("_lrank", F.row_number().over(local_w))
+    sizes = arranged.groupBy("_pid").agg(F.count("*").alias("_psize"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_psize").over(off_w), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.col("_lrank"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
 def fair_assign(
     page: DataFrame,
     request: DataFrame,
@@ -83,8 +122,11 @@ def fair_assign(
     Order: FIFO rank within key (O1), then recent processed count
     (A6 argmin), then key id (deterministic tie-break, matching the
     reference's stable dict-order min). ``limit=1`` == the reference's
-    single dequeue. Returns (page_id, request_id, api_key_id,
-    engine_id, fair_rank)."""
+    single dequeue (general.py:112-151). Returns (page_id, request_id,
+    api_key_id, engine_id, fair_rank).
+
+    The global fair rank is computed via :func:`global_rank` — no
+    stage sees more than one range-partition of the queue."""
     keys = keys_with_waiting_work(page, request, api_key, engine_id)
     counts = processed_counts_last_window(page, request, now)
     key_order = keys.join(
@@ -106,15 +148,54 @@ def fair_assign(
     )
     fifo = Window.partitionBy("key_id").orderBy("waiting_timestamp", "page_id")
     ranked = waiting.withColumn("fifo_rank", F.row_number().over(fifo))
-    global_order = Window.orderBy(
-        "fifo_rank", "recent_processed", "key_id", "page_id"
-    )
-    out = ranked.withColumn("fair_rank", F.row_number().over(global_order)).select(
+    out = global_rank(
+        ranked, ["fifo_rank", "recent_processed", "key_id", "page_id"], "fair_rank"
+    ).select(
         "page_id", "request_id", F.col("api_key_id"), "engine_id", "fair_rank"
     )
     if limit is not None:
         out = out.filter(F.col("fair_rank") <= limit)
     return out
+
+
+def fair_assign_preferred(
+    page: DataFrame,
+    request: DataFrame,
+    api_key: DataFrame,
+    now: datetime,
+    preferred_engine_id: int,
+    limit: int = 1,
+) -> DataFrame:
+    """The reference's two-pass dequeue (general.py:112-151): try the
+    preferred engine first; if it yields nothing, fall back to
+    any-engine work — one lazy plan, no driver-side branch.
+
+    Pass 1 rows win over pass 2 rows; a page appearing in both passes
+    is kept once (pass 1). The final re-rank window runs over at most
+    ``2*limit`` pre-filtered rows, so it is bounded regardless of
+    queue depth."""
+    pref = fair_assign(
+        page, request, api_key, now, engine_id=preferred_engine_id, limit=limit
+    ).withColumn("_pass", F.lit(0))
+    any_engine = fair_assign(
+        page, request, api_key, now, engine_id=None, limit=limit
+    ).withColumn("_pass", F.lit(1))
+    merged = pref.unionByName(any_engine)
+    first_pass = Window.partitionBy("page_id").orderBy("_pass")
+    deduped = (
+        merged.withColumn("_dup", F.row_number().over(first_pass))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup")
+    )
+    final = Window.orderBy("_pass", "fair_rank", "page_id")  # <= 2*limit rows
+    return (
+        deduped.withColumn("final_rank", F.row_number().over(final))
+        .filter(F.col("final_rank") <= limit)
+        .select(
+            "page_id", "request_id", "api_key_id", "engine_id",
+            F.col("final_rank").alias("fair_rank"),
+        )
+    )
 
 
 def latest_engine_versions(

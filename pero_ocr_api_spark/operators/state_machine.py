@@ -131,14 +131,29 @@ def cancel_request(page: DataFrame, request_id: str, now: datetime) -> DataFrame
 
 
 def timeout_requeue(page: DataFrame, now: datetime) -> DataFrame:
-    """U6 — PROCESSING stuck > 60 s → back to WAITING (watchdog,
-    app/__init__.py:76-124; requeue at 86-87)."""
+    """U6 — PROCESSING stuck > 60 s → back to WAITING with
+    processing_timestamp cleared, exactly like the reference watchdog
+    (app/__init__.py:76-124; requeue + timestamp reset at 85-87)."""
     cutoff = now - timedelta(seconds=PROCESSING_TIMEOUT_S)
+    # materialize the hit flag once: both columns below rewrite inputs
+    # the predicate reads, so re-deriving it per withColumn would see
+    # the already-mutated values
     hit = (F.col("state") == "PROCESSING") & (
         F.col("processing_timestamp") < F.lit(cutoff)
     )
-    return page.withColumn(
-        "state", F.when(hit, F.lit("WAITING")).otherwise(F.col("state"))
+    return (
+        page.withColumn("_hit", hit)
+        .withColumn(
+            "processing_timestamp",
+            F.when(F.col("_hit"), F.lit(None).cast("timestamp")).otherwise(
+                F.col("processing_timestamp")
+            ),
+        )
+        .withColumn(
+            "state",
+            F.when(F.col("_hit"), F.lit("WAITING")).otherwise(F.col("state")),
+        )
+        .drop("_hit")
     )
 
 

@@ -35,13 +35,33 @@ def read_done_ids(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def write_extracted(
-    spark: SparkSession, extracted: DataFrame, path: str
+    spark: SparkSession,
+    extracted: DataFrame,
+    path: str,
+    table_format: str = "parquet",
 ) -> int:
     """Merge-append: write only docs not already in `path`.
 
-    Returns the number of rows written. On Iceberg this is one
-    ``MERGE INTO``; here: anti-join + append (safe because doc_id is
-    the primary key and a doc's row is immutable once written)."""
+    Returns the number of rows written (parquet path; the Iceberg
+    path returns -1 — row counts come from the snapshot summary
+    there). ``table_format="iceberg"`` takes `path` as a catalog
+    table name and issues the real ``MERGE INTO`` keyed by doc_id;
+    it requires the Iceberg runtime on the classpath (not present in
+    this sandbox — the parquet anti-join below keeps the identical
+    exactly-once-per-doc_id contract and is what the tests exercise,
+    safe because doc_id is the primary key and a doc's row is
+    immutable once written)."""
+    if table_format == "iceberg":
+        extracted.createOrReplaceTempView("_new_extracted")
+        spark.sql(
+            f"""
+            MERGE INTO {path} t
+            USING _new_extracted s
+            ON t.doc_id = s.doc_id
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        return -1
     done = read_done_ids(spark, path)
     new_rows = (
         extracted if done is None else extracted.join(done, "doc_id", "left_anti")

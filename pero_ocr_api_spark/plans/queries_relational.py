@@ -70,18 +70,30 @@ LEFT JOIN counts c USING (event_type)
 
 
 # --- J5/A4: usage statistics (general.py:177-184) --------------------------
-def q_usage_statistics(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-tenant processed-page count with optional time bounds."""
+ISO_FROM = "1996-01-01T00:00:00"  # routes.py:69,76 isoparse(request.args[...])
+ISO_TO = "1998-01-01T00:00:00"
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def q_usage_statistics(
+    spark: SparkSession,
+    sf: str,
+    date_from: str = ISO_FROM,
+    date_to: str = ISO_TO,
+) -> DataFrame:
+    """Per-tenant processed-page count between optional ISO-8601
+    bounds, parsed in-query exactly like the route's isoparse of the
+    from/to params (routes.py:64-80) — ``to_timestamp_ntz`` keeps the
+    comparison timezone-independent against TimestampNTZ parquet."""
     orders = read_table(spark, sf, "orders")
     customer = read_table(spark, sf, "customer")
     lineitem = read_table(spark, sf, "lineitem")
+    lo = F.to_timestamp_ntz(F.lit(date_from), F.lit(ISO_FMT))
+    hi = F.to_timestamp_ntz(F.lit(date_to), F.lit(ISO_FMT))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .filter(
-            (F.col("o_orderdate") >= F.lit(ORDERS_FROM))
-            & (F.col("o_orderdate") < F.lit(ORDERS_TO))
-        )
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_pages"))
     )
@@ -91,8 +103,8 @@ SQL_USAGE_STATISTICS = f"""
 SELECT c_mktsegment, count(*) AS n_pages
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
-WHERE o_orderdate >= TIMESTAMP '{ORDERS_FROM} 00:00:00'
-  AND o_orderdate < TIMESTAMP '{ORDERS_TO} 00:00:00'
+WHERE o_orderdate >= strptime('{ISO_FROM}', '%Y-%m-%dT%H:%M:%S')
+  AND o_orderdate < strptime('{ISO_TO}', '%Y-%m-%dT%H:%M:%S')
 GROUP BY c_mktsegment
 """
 
@@ -510,6 +522,86 @@ SELECT event_type, count(*) AS n_events FROM (
 """
 
 
+# --- S5: result-download format dispatch (routes.py:166-223) -----------------
+def q_format_dispatch(spark: SparkSession, sf: str) -> DataFrame:
+    """The download route's format switch as one when/otherwise
+    selector: each doc requests a format (deterministic from its id,
+    standing in for the URL parameter), alto/page get the .xml export,
+    txt the plain text, anything else the 400 path
+    (routes.py:193-221)."""
+    documents = read_table(spark, sf, "documents")
+    fmt = F.element_at(
+        F.array(F.lit("alto"), F.lit("page"), F.lit("txt"), F.lit("pdf")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    body = (
+        F.when(fmt == "alto", F.concat(F.lit("<alto>"), F.col("text"), F.lit("</alto>")))
+        .when(fmt == "page", F.concat(F.lit("<PcGts>"), F.col("text"), F.lit("</PcGts>")))
+        .when(fmt == "txt", F.col("text"))
+    )
+    extension = (
+        F.when(fmt.isin("alto", "page"), F.lit("xml"))
+        .when(fmt == "txt", F.lit("txt"))
+    )
+    return documents.filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        fmt.alias("format"),
+        F.when(extension.isNotNull(), F.lit("success"))
+        .otherwise(F.lit("bad_format"))
+        .alias("status"),
+        F.concat_ws(
+            ".", F.concat(F.lit("doc"), F.col("doc_id").cast("string")), extension
+        ).alias("attachment_name"),
+        F.coalesce(F.length(body), F.lit(-1)).alias("body_len"),
+    )
+
+
+SQL_FORMAT_DISPATCH = """
+SELECT doc_id,
+       ['alto', 'page', 'txt', 'pdf'][CAST(doc_id % 4 + 1 AS INTEGER)] AS format,
+       CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 'success' ELSE 'bad_format' END AS status,
+       CASE doc_id % 4
+         WHEN 0 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xml'
+         WHEN 1 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.xml'
+         WHEN 2 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.txt'
+         ELSE 'doc' || CAST(doc_id AS VARCHAR)
+       END AS attachment_name,
+       CASE doc_id % 4
+         WHEN 0 THEN length('<alto>' || text || '</alto>')
+         WHEN 1 THEN length('<PcGts>' || text || '</PcGts>')
+         WHEN 2 THEN length(text)
+         ELSE -1
+       END AS body_len
+FROM documents WHERE doc_id < 40
+"""
+
+
+# --- F6/F7: api-key auth lookup (app/db/api_key.py:19-34) ---------------------
+def q_auth_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-string lookup + permission gate: the USER-level lookup
+    (api_string equality) and the SUPER_USER conjunctive variant in
+    one row — customer.c_name stands in for api_string,
+    c_mktsegment='BUILDING' for the SUPER_USER enum."""
+    customer = read_table(spark, sf, "customer")
+    return (
+        customer.filter(F.col("c_name") == "Customer#000000042")
+        .limit(1)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            (F.col("c_mktsegment") == "BUILDING").alias("authorized_su"),
+        )
+    )
+
+
+SQL_AUTH_LOOKUP = """
+SELECT c_custkey, c_name, c_mktsegment,
+       (c_mktsegment = 'BUILDING') AS authorized_su
+FROM customer WHERE c_name = 'Customer#000000042' LIMIT 1
+"""
+
+
 # --- get_engine_dict shape (general.py:70-77): grouped sorted lists ----------
 def q_engine_dict(spark: SparkSession, sf: str) -> DataFrame:
     """Region → sorted member-nation list, one windowless aggregate
@@ -539,6 +631,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "engine_dict": (q_engine_dict, SQL_ENGINE_DICT),
     "state_histogram": (q_state_histogram, SQL_STATE_HISTOGRAM),
     "usage_statistics": (q_usage_statistics, SQL_USAGE_STATISTICS),
+    "format_dispatch": (q_format_dispatch, SQL_FORMAT_DISPATCH),
+    "auth_lookup": (q_auth_lookup, SQL_AUTH_LOOKUP),
     "fair_dequeue": (q_fair_dequeue, SQL_FAIR_DEQUEUE),
     "processed_counts": (q_processed_counts, SQL_PROCESSED_COUNTS),
     "argmin_fair_key": (q_argmin_fair_key, SQL_ARGMIN_FAIR_KEY),

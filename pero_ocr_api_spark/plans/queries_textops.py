@@ -176,27 +176,103 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(bands)
 
 
-def _sql_minhash_lsh_pairs() -> str:
+def _sql_bands_cte(source_cte: str = "all_docs") -> str:
+    """Shared CTE chain: source docs → shingle ints → sigs → bands."""
     ints = dedup.duckdb_shingle_ints_sql("text")
     sig = dedup.duckdb_minhash_from_ints_sql("ints")
     rows = dedup.MINHASH_K // dedup.LSH_BANDS
-    band_rows = []
-    for b in range(dedup.LSH_BANDS):
-        cols = " || '|' || ".join(
-            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            ),
         )
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs"
-        )
-    bands = " UNION ALL ".join(band_rows)
+        for b in range(dedup.LSH_BANDS)
+    )
+    return f"""
+sh_ints AS (SELECT doc_id, {ints} AS ints FROM {source_cte}),
+sigs AS (SELECT doc_id, {sig} AS sig FROM sh_ints),
+bands AS ({band_rows}),
+sized AS ({dedup.duckdb_sized_cte_sql('bands')})"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
     return f"""
 WITH all_docs AS ({SQL_WITH_DUPS}),
-sh_ints AS (SELECT doc_id, {ints} AS ints FROM all_docs),
-sigs AS (SELECT doc_id, {sig} AS sig FROM sh_ints),
-bands AS ({bands})
-SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-FROM bands a JOIN bands b USING (band_idx, band_hash)
-WHERE a.doc_id < b.doc_id
+{_sql_bands_cte()}
+{dedup.duckdb_capped_pairs_sql()}
+"""
+
+
+# --- LSH skew guard: constructed mega-bucket ----------------------------------
+MEGA_OFFSET = 2_000_000
+N_MEGA = 500  # 500 boilerplate-identical docs → one 501-member bucket
+
+
+def _with_mega(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """documents ∪ 500 exact copies of doc 0's text — the web-data
+    boilerplate mega-group that blows up an uncapped LSH self-join."""
+    copies = spark.range(N_MEGA).select(
+        (F.lit(MEGA_OFFSET) + F.col("id")).alias("doc_id")
+    )
+    seed_text = docs.filter(F.col("doc_id") == 0).select("text")
+    return docs.select("doc_id", "text").unionByName(copies.crossJoin(seed_text))
+
+
+SQL_WITH_MEGA = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT {MEGA_OFFSET} + r.range AS doc_id, d.text
+FROM range({N_MEGA}) r CROSS JOIN (SELECT text FROM documents WHERE doc_id = 0) d
+"""
+
+
+def q_lsh_mega_bucket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-guarded candidate pairs on the mega-bucket corpus: the
+    501-member bucket collapses to a 500-row star around doc 0 instead
+    of a 125k-row clique (operators/dedup.py:lsh_candidate_pairs)."""
+    all_docs = _with_mega(spark, _docs(spark, sf))
+    sigs = dedup.minhash_signatures(all_docs)
+    bands = dedup.lsh_bands_df(sigs).cache()
+    return dedup.lsh_candidate_pairs(bands).filter(
+        F.col("id2") >= MEGA_OFFSET
+    )
+
+
+def _sql_lsh_mega_bucket_pairs() -> str:
+    return f"""
+WITH all_docs AS ({SQL_WITH_MEGA}),
+{_sql_bands_cte()}
+SELECT id1, id2 FROM ({dedup.duckdb_capped_pairs_sql()})
+WHERE id2 >= {MEGA_OFFSET}
+"""
+
+
+def q_lsh_bucket_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """The cap's metric surface: per band, bucket count, largest
+    bucket, and how many buckets the star-guard truncated."""
+    all_docs = _with_mega(spark, _docs(spark, sf))
+    sigs = dedup.minhash_signatures(all_docs)
+    sizes = dedup.lsh_bucket_sizes(dedup.lsh_bands_df(sigs))
+    return sizes.groupBy("band_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_n").alias("max_bucket_n"),
+        F.sum(
+            F.when(F.col("bucket_n") > dedup.MAX_BUCKET, 1).otherwise(0)
+        ).alias("n_capped"),
+    )
+
+
+def _sql_lsh_bucket_histogram() -> str:
+    return f"""
+WITH all_docs AS ({SQL_WITH_MEGA}),
+{_sql_bands_cte()}
+SELECT band_idx, count(*) AS n_buckets, max(bucket_n) AS max_bucket_n,
+       CAST(sum(CASE WHEN bucket_n > {dedup.MAX_BUCKET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped
+FROM (SELECT DISTINCT band_idx, band_hash, bucket_n FROM sized)
+GROUP BY band_idx
 """
 
 
@@ -514,18 +590,6 @@ def q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_dedup_keep_list() -> str:
-    ints = dedup.duckdb_shingle_ints_sql("text")
-    sig = dedup.duckdb_minhash_from_ints_sql("ints")
-    rows = dedup.MINHASH_K // dedup.LSH_BANDS
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs".format(
-            b=b,
-            cols=" || '|' || ".join(
-                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
-            ),
-        )
-        for b in range(dedup.LSH_BANDS)
-    )
     sh = dedup.duckdb_shingles_sql("text")
     jac = dedup.duckdb_jaccard_sql("s1.sh", "s2.sh")
     return f"""
@@ -539,14 +603,8 @@ exact_kept AS (
   ) WHERE rn = 1
 ),
 survivors AS (SELECT a.* FROM all_docs a JOIN exact_kept USING (doc_id)),
-sh_ints AS (SELECT doc_id, {ints} AS ints FROM survivors),
-sigs AS (SELECT doc_id, {sig} AS sig FROM sh_ints),
-bands AS ({band_rows}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bands a JOIN bands b USING (band_idx, band_hash)
-  WHERE a.doc_id < b.doc_id
-),
+{_sql_bands_cte('survivors')},
+pairs AS ({dedup.duckdb_capped_pairs_sql()}),
 shingled AS (SELECT doc_id, {sh} AS sh FROM survivors),
 verified AS (
   SELECT DISTINCT p.id2 AS doc_id
@@ -612,6 +670,8 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+    "lsh_mega_bucket_pairs": (q_lsh_mega_bucket_pairs, _sql_lsh_mega_bucket_pairs()),
+    "lsh_bucket_histogram": (q_lsh_bucket_histogram, _sql_lsh_bucket_histogram()),
     "simhash_buckets": (q_simhash_buckets, SQL_SIMHASH_BUCKETS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),

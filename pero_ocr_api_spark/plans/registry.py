@@ -46,12 +46,18 @@ class Engine:
         }
 
     def text_expr(self, kind: Column, text: Column) -> Column:
-        """CASE chain dispatching the registered processor by kind;
-        unregistered kinds pass through null-safed."""
-        expr = F.coalesce(text, F.lit(""))
+        """Single flat CASE dispatching the registered processor by
+        kind (one ``when`` chain, not nested CASEs — depth stays
+        constant as kinds are added); unregistered kinds pass through
+        null-safed."""
+        expr: Column | None = None
         for k, proc in sorted(self.processors.items()):
-            expr = F.when(kind == k, proc(text)).otherwise(expr)
-        return expr
+            branch = proc(text)
+            expr = F.when(kind == k, branch) if expr is None else expr.when(
+                kind == k, branch
+            )
+        default = F.coalesce(text, F.lit(""))
+        return default if expr is None else expr.otherwise(default)
 
 
 class EngineRegistry:

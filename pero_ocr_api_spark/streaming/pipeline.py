@@ -111,7 +111,15 @@ PROCESSING_TIMEOUT_S = 60  # app/__init__.py:80-83
 def _timeout_fn(key, pdfs, state):
     """Per-page state machine: remember when PROCESSING started; if
     the event-time watermark passes start+60 s with no terminal
-    event, emit a requeue row (U6, app/__init__.py:76-124)."""
+    event, emit a requeue row (U6, app/__init__.py:76-124).
+
+    Two late-data guards: (a) all Arrow chunks are concatenated and
+    sorted by ``ts`` *once*, so an out-of-order batch cannot replay a
+    terminal event before the PROCESSING that preceded it; (b) the
+    timeout is clamped to just past the current watermark — a
+    PROCESSING event arriving so late that ts+60 s is already behind
+    the watermark would otherwise make Spark reject the timestamp and
+    kill the query."""
     import pandas as pd
 
     page_id = key[0]
@@ -128,22 +136,25 @@ def _timeout_fn(key, pdfs, state):
             }
         )
         return
+    events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
     latest_processing = None
     finished = False
-    for pdf in pdfs:
-        for _, row in pdf.sort_values("ts").iterrows():
-            if row["state"] == "PROCESSING":
-                latest_processing = row["ts"]
-                finished = False
-            elif row["state"] in terminal:
-                finished = True
+    for _, row in events.iterrows():
+        if row["state"] == "PROCESSING":
+            latest_processing = row["ts"]
+            finished = False
+        elif row["state"] in terminal:
+            finished = True
     if finished:
         state.remove()
     elif latest_processing is not None:
         nanos = int(pd.Timestamp(latest_processing).value)
         state.update((nanos // 1000,))  # store micros
-        # timeout at processing_ts + 60 s (epoch millis)
-        state.setTimeoutTimestamp(nanos // 1_000_000 + PROCESSING_TIMEOUT_S * 1000)
+        # timeout at processing_ts + 60 s (epoch millis), clamped to
+        # strictly after the current watermark
+        deadline_ms = nanos // 1_000_000 + PROCESSING_TIMEOUT_S * 1000
+        watermark_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline_ms, watermark_ms + 1))
     return
     yield  # pragma: no cover — make this a generator
 

@@ -77,6 +77,10 @@ def test_u6_timeout_requeue(world):
     s = _states(out)
     assert s["p2"] == "WAITING"  # stuck 3 min > 60 s
     assert s["p8"] == "PROCESSING"  # only 30 s — stays
+    # watchdog also resets processing_timestamp (app/__init__.py:85-86)
+    ts = {r.id: r.processing_timestamp for r in out.collect()}
+    assert ts["p2"] is None
+    assert ts["p8"] is not None
 
 
 def test_u7_expire_old(world):
@@ -146,6 +150,87 @@ def test_j3_engine_filter(world):
         world["page"], world["request"], world["api_key"], NOW, engine_id=2
     ).collect()
     assert got == []  # engine 2 has only the suspended tenant's work
+
+
+def test_global_rank_matches_total_order(spark):
+    df = spark.range(0, 1000).select(
+        ((F.col("id") * 37) % 1000).alias("k"), F.col("id")
+    )
+    rows = scheduling.global_rank(df, ["k", "id"], "r").orderBy("r").collect()
+    assert [r.r for r in rows] == list(range(1, 1001))
+    ks = [(r.k, r.id) for r in rows]
+    assert ks == sorted(ks)
+
+
+def test_fair_assign_no_single_partition_window(world):
+    """The queue-scale ranking must never funnel through one reducer:
+    the only SinglePartition exchange allowed is the P-row partition-
+    size prefix sum, and the fair-rank window must be keyed by the
+    range-partition id."""
+    out = scheduling.fair_assign(
+        world["page"], world["request"], world["api_key"], NOW
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1
+    # the global fair-rank window is the only one ordering by
+    # recent_processed (the fifo window's line merely *aliases*
+    # fifo_rank, so match on the order key instead)
+    win_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "recent_processed" in ln
+    ]
+    assert win_lines, "fair-rank window missing from plan"
+    for ln in win_lines:
+        assert "_pid" in ln, f"unpartitioned fair-rank window: {ln}"
+
+
+def test_j3_fair_assign_preferred_direct(world):
+    got = scheduling.fair_assign_preferred(
+        world["page"], world["request"], world["api_key"], NOW,
+        preferred_engine_id=1, limit=1,
+    ).collect()
+    assert len(got) == 1 and got[0].page_id == "p1"
+
+
+def test_j3_fair_assign_preferred_fallback(world):
+    # engine 2's only WAITING work belongs to the suspended tenant →
+    # preferred pass is empty → any-engine fallback (general.py:129-140)
+    got = scheduling.fair_assign_preferred(
+        world["page"], world["request"], world["api_key"], NOW,
+        preferred_engine_id=2, limit=1,
+    ).collect()
+    assert len(got) == 1
+    assert got[0].page_id == "p1"
+    assert got[0].engine_id == 1  # the fallback reports the page's engine
+
+
+def test_f6_auth_lookup_user(world):
+    from pero_ocr_api_spark.operators import auth
+
+    rows = auth.lookup_api_key(world["api_key"], "key_user_a").collect()
+    assert len(rows) == 1 and rows[0].owner == "tenant a"
+    assert auth.lookup_api_key(world["api_key"], "no_such_key").collect() == []
+
+
+def test_f7_auth_permission_gate(world):
+    from pero_ocr_api_spark.operators import auth
+
+    assert auth.match_api_keys(world["api_key"], "key_super", auth.SUPER_USER)
+    assert not auth.match_api_keys(world["api_key"], "key_user_a", auth.SUPER_USER)
+    assert auth.match_api_keys(world["api_key"], "key_user_a", auth.USER)
+    assert not auth.match_api_keys(world["api_key"], None, auth.USER)
+
+
+def test_j4_request_belongs_to_api_key(world):
+    from pero_ocr_api_spark.operators import auth
+
+    assert auth.request_belongs_to_api_key(
+        world["api_key"], world["request"], "key_user_a", "r1"
+    )
+    assert not auth.request_belongs_to_api_key(
+        world["api_key"], world["request"], "key_user_b", "r1"
+    )
 
 
 def test_j7_latest_engine_versions(world):

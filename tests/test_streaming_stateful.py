@@ -96,3 +96,42 @@ def test_stateful_timeout_requeue(spark):
     assert requeued["p1"].action == "REQUEUE_WAITING"
     assert requeued["p1"].stuck_since == T0
     assert "p2" not in requeued
+
+
+def test_stateful_timeout_survives_very_late_event(spark):
+    """A PROCESSING event arriving after the watermark already passed
+    its ts+60 s deadline must not kill the query (timeout clamps to
+    just past the watermark) and must still be requeued by a later
+    batch."""
+    d = tempfile.mkdtemp()
+    schema = "page_id string, state string, ts timestamp"
+    # batch 1: heartbeat far in the future → watermark jumps to ~595 s
+    spark.createDataFrame(
+        [("hb1", "PROCESSED", T0 + timedelta(seconds=600))], schema
+    ).coalesce(1).write.parquet(f"{d}/in")
+    # batch 2: p_late's PROCESSING is >9 min late — ts+60 s is far
+    # behind the watermark (unclamped this throws and kills the query)
+    spark.createDataFrame(
+        [("p_late", "PROCESSING", T0)], schema
+    ).coalesce(1).write.mode("append").parquet(f"{d}/in")
+    # batches 3+4: advance the watermark past the clamped deadline
+    spark.createDataFrame(
+        [("hb2", "PROCESSED", T0 + timedelta(seconds=700))], schema
+    ).coalesce(1).write.mode("append").parquet(f"{d}/in")
+    spark.createDataFrame(
+        [("hb3", "PROCESSED", T0 + timedelta(seconds=800))], schema
+    ).coalesce(1).write.mode("append").parquet(f"{d}/in")
+
+    sq = (
+        stream_timeout_requeue(spark, f"{d}/in")
+        .writeStream.format("memory")
+        .queryName("late_requeues")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(240)
+    rows = spark.sql("select * from late_requeues").collect()
+    requeued = {r.page_id: r for r in rows}
+    assert "p_late" in requeued, f"late page not requeued: {rows}"
+    assert requeued["p_late"].stuck_since == T0
