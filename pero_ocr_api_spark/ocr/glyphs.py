@@ -72,6 +72,7 @@ _FONT_ROWS = {
 }
 
 ALPHABET = "".join(sorted(_FONT_ROWS))
+_ALPHABET_ARR = np.array(list(ALPHABET))
 
 
 def _bitmap(rows: list[str]) -> np.ndarray:
@@ -142,25 +143,33 @@ def decode_cells(line_img: np.ndarray, scale: int) -> tuple[str, float]:
     gray = line_img.reshape(h, n_cells, PITCH * scale).transpose(1, 0, 2)[
         :, :, : GLYPH_W * scale
     ]
-    nonempty = cells.any(axis=(1, 2))
     # block-mean downsample to the 7x5 grid; integer form of mean>0.5
-    # (sum*2 > scale^2) — exact, no float conversion
+    # (sum*2 > scale^2) — exact, no float conversion. Two single-axis
+    # sums (innermost axis first, contiguous after the astype copy)
+    # instead of one fused strided sum(axis=(2,4)) — same values,
+    # ~3x fewer cache misses on the kernel's second-hottest pass.
     counts = (
         cells.astype(np.uint8)
         .reshape(n_cells, GLYPH_H, scale, GLYPH_W, scale)
-        .sum(axis=(2, 4), dtype=np.int32)
+        .sum(axis=4, dtype=np.int32)
+        .sum(axis=2)
     )
+    nonempty = counts.any(axis=(1, 2))
     small = counts * 2 > scale * scale
     # template match via matmul: agreement = 35 - |s|1 - |t|1 + 2<s,t>,
     # argmax over templates == argmax(2<s,t> - |t|1) (|s|1 constant per
     # cell) — same ordering and tie-break as the hamming-mean form
     sf = small.reshape(n_cells, GLYPH_H * GLYPH_W).astype(np.float32)
     best = (2.0 * (sf @ _TEMPLATES_F.T) - _TEMPLATES_ONES).argmax(axis=1)
-    chars = np.where(nonempty, np.array(list(ALPHABET))[best], " ")
+    chars = np.where(nonempty, _ALPHABET_ARR[best], " ")
     text = "".join(chars.tolist()).rstrip(" ")
-    n_ink = int(cells.sum())
+    # exact identity replacing the boolean fancy-index gray[cells]:
+    # background pixels are all 255, so sum(gray over ink pixels)
+    # == sum(gray) - 255 * (n_pixels - n_ink) — one contiguous sum
+    n_ink = int(counts.sum())
     if n_ink:
-        mean_ink = float(gray[cells].sum()) / n_ink
+        ink_gray_sum = int(gray.sum(dtype=np.int64)) - 255 * (gray.size - n_ink)
+        mean_ink = float(ink_gray_sum) / n_ink
         conf = max(0.0, min(1.0, 1.0 - 2.0 * mean_ink / 255.0))
     else:
         conf = 1.0

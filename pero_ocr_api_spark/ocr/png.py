@@ -84,10 +84,9 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise PngError("bad scanline size")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
     filters = rows[:, 0]
-    out = np.zeros((height, width), dtype=np.uint8)
     if not filters.any():  # fast path: all filter 0 (our encoder)
-        out[:] = rows[:, 1:]
-        return out
+        return np.ascontiguousarray(rows[:, 1:])  # single copy pass
+    out = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
         f = filters[y]
         line = rows[y, 1:].astype(np.int32)

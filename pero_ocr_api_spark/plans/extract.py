@@ -194,12 +194,24 @@ def media_path(
         # fixed cost, so bigger partitions beat finer ones as long as
         # rows-per-partition stays balanced (media_ref is unique)
         udf_partitions = spans.sparkSession.sparkContext.defaultParallelism
-    joined = (
+    # Pre-partition BOTH join inputs on (media_ref, udf_partitions):
+    # the join then preserves that partitioning (no second exchange),
+    # so the heavy blobs cross the wire exactly once — vs joining
+    # first and repartitioning after, which shuffles every blob twice.
+    # The explicit partition count also keeps AQE from byte-coalescing
+    # the compute-bound UDF stage down to one task. On Iceberg the
+    # media table would be bucketed by media_ref, removing even this
+    # single blob shuffle.
+    refs = (
         spans.filter(F.col("kind") == "media")
         .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "media_kind", "media_bytes"), "media_ref", "left")
-        .select("doc_id", "offset", "media_ref", "media_kind", "media_bytes")
         .repartition(udf_partitions, "media_ref")
+    )
+    blobs = media.select("media_ref", "media_kind", "media_bytes").repartition(
+        udf_partitions, "media_ref"
+    )
+    joined = refs.join(blobs, "media_ref", "left").select(
+        "doc_id", "offset", "media_ref", "media_kind", "media_bytes"
     )
     out = joined.mapInPandas(_media_map_fn(cfg, run_id), MEDIA_OUT_SCHEMA)
     # the UDF output feeds two consumers (extracted rows + lineage);

@@ -100,6 +100,37 @@ def stream_event_window_counts(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_path: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication of a continuously-fed documents
+    table: md5 fingerprint of normalized text, first-seen row wins,
+    state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — the streaming twin of the
+    batch ``exact_dup_groups`` operator in operators/dedup.py).
+
+    Scale note: state is one fingerprint per in-watermark doc, evicted
+    as the watermark advances — O(ingest-rate x delay), not O(corpus).
+    A full-corpus dedup stays batch; this catches re-submissions and
+    crawl echoes inside the freshness window."""
+    from pero_ocr_api_spark.operators.dedup import fingerprint_exact
+
+    schema = "doc_id string, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+    )
+    return (
+        fingerprint_exact(stream)
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("doc_id", "ts", "fingerprint")
+    )
+
+
 # --- U6 as a custom stateful operator (applyInPandasWithState) -------------
 
 PAGE_EVENT_SCHEMA = "page_id string, state string, ts timestamp"

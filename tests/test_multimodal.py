@@ -46,6 +46,29 @@ def test_sample_frames(spark):
     assert got == [("v1", 0, 0), ("v1", 1, 1000), ("v1", 2, 2000), ("v1", 3, 3000)]
 
 
+def test_kind_coverage_contract(spark):
+    """The stub-vs-real contract documented in COVERAGE.md: image/png
+    decodes for real; every other kind surfaces ok=False with a marked
+    error instead of crashing the Arrow batch."""
+    import numpy as np
+
+    from pero_ocr_api_spark.sources.tables import MEDIA_SCHEMA
+
+    real_png = png.encode_gray(np.full((8, 8), 200, dtype=np.uint8))
+    rows = [
+        ("m_png", "image/png", bytearray(real_png), None),
+        ("m_jpeg", "image/jpeg", bytearray(b"\xff\xd8\xff\xe0"), None),
+        ("m_wav", "audio/wav", bytearray(b"RIFF0000WAVE"), None),
+        ("m_mp4", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_ref: r for r in multimodal.image_features(media).collect()}
+    assert got["m_png"].ok and got["m_png"].width == 8
+    for stubbed in ("m_jpeg", "m_wav", "m_mp4"):
+        assert not got[stubbed].ok
+        assert "no decoder" in got[stubbed].error
+
+
 def test_no_shuffle_in_plan(spark, media_df):
     """The multimodal kernels must be shuffle-free map-only plans."""
     plan = multimodal.image_features(media_df)._jdf.queryExecution().executedPlan().toString()
