@@ -227,8 +227,8 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
     # c~1.5 s two-arm model fitted on measured samples)
     scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", str(2 * n_docs)))
     runs_per_block = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCK", "2"))
-    max_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "3"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "420"))
+    max_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "5"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "540"))
     _stage_corpus(scale_docs, staging)
 
     def _stable(rates: list[float]) -> bool:
@@ -257,6 +257,9 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         )
         if b + 1 >= 2 and _stable(lo_rates) and _stable(hi_rates):
             break
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
     factor = scale_hi / scale_lo
     speedup_clean = max(hi_rates) / max(lo_rates)
     return {

@@ -163,3 +163,52 @@ def ann_topk(
     )
     sims = cand.join(e, "vec_id").join(F.broadcast(q_vec), "qid")
     return _topk(_cosine(sims), k)
+
+
+def ann_topk_multiprobe(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int,
+    dim: int,
+    tables: int = ANN_TABLES,
+    planes: int = ANN_TABLE_PLANES,
+) -> DataFrame:
+    """Multi-probe ANN: each query additionally probes the buckets at
+    Hamming distance 1 from its own (one sign-bit flip per hyperplane)
+    in every table — the standard recall amplifier (Lv et al.,
+    multi-probe LSH) that costs nothing on the corpus side.
+
+    Scale shape: probing explodes only the *query* rows ((planes+1)x
+    per table); the corpus keeps exactly one bucket row per table, so
+    the shuffle/storage footprint of the index is unchanged and the
+    candidate join stays an equi-join on (table, bucket). Probing
+    1-bit neighbors scans the buckets whose boundary the query sits
+    closest to — where near-misses of sign-LSH live."""
+    e = _with_norm(emb)
+    bucketed = e.select(
+        "vec_id",
+        F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias("b"),
+    ).select("vec_id", "b.t", "b.bucket")
+    q_own = bucketed.join(query_ids, "vec_id").select(
+        F.col("vec_id").alias("qid"), "t", "bucket"
+    )
+    probe_set = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+    )
+    probes = q_own.select(
+        "qid", "t", F.explode(probe_set).alias("bucket")
+    )
+    cand = (
+        bucketed.join(F.broadcast(probes), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    q_vec = e.join(query_ids, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    sims = cand.join(e, "vec_id").join(F.broadcast(q_vec), "qid")
+    return _topk(_cosine(sims), k)

@@ -396,6 +396,55 @@ SELECT qid, vec_id, cosine, rn FROM (
 """
 
 
+def q_ann_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe variant: each query also probes the Hamming-1
+    buckets in every table (query-side-only fan-out — the recall
+    amplifier for the LSH scale path)."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.ann_topk_multiprobe(
+        emb, _query_ids(spark, sf), TOP_K, EMB_DIM
+    )
+
+
+def _sql_ann_multiprobe_topk() -> str:
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{_duckdb_bucket_sql('v', similarity.ANN_TABLE_PLANES, t)} AS bucket FROM emb"
+        for t in range(similarity.ANN_TABLES)
+    )
+    flips = ", ".join(
+        ["(0)"] + [f"({1 << p})" for p in range(similarity.ANN_TABLE_PLANES)]
+    )
+    cos = "list_dot_product(a.v, q.v) / (a.norm * q.norm)"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+bucketed AS ({per_table}),
+qb AS (SELECT vec_id AS qid, t, bucket FROM bucketed WHERE vec_id < {N_QUERY_VECS}),
+probes AS (
+  SELECT qid, t, xor(bucket, f.flip) AS bucket
+  FROM qb CROSS JOIN (VALUES {flips}) AS f(flip)
+),
+cand AS (
+  SELECT DISTINCT p.qid, b.vec_id
+  FROM bucketed b JOIN probes p USING (t, bucket)
+  WHERE b.vec_id != p.qid
+),
+sims AS (
+  SELECT c.qid, c.vec_id, {duckdb_round_bin(cos, 4)} AS cosine
+  FROM cand c JOIN emb a ON a.vec_id = c.vec_id JOIN emb q ON q.vec_id = c.qid
+)
+SELECT qid, vec_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM sims
+) WHERE rn <= {TOP_K}
+"""
+
+
 def _sql_cosine_topk() -> str:
     dot = "list_dot_product(a.v, q.v)"
     cos = f"{dot} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v)))"
@@ -676,6 +725,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_topk": (q_ann_topk, _sql_ann_topk()),
+    "ann_multiprobe_topk": (q_ann_multiprobe_topk, _sql_ann_multiprobe_topk()),
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "knn_label_vote": (q_knn_label_vote, _sql_knn_label_vote()),
