@@ -111,13 +111,19 @@ def main() -> None:
 
     spark = _fresh_spark(cpus)
 
-    # JVM/regex warm-up so q1 doesn't absorb one-time JIT cost
+    # JVM/regex warm-up so no timed query absorbs the one-time ~40 s
+    # codegen/JIT cost (first regexp/split expression per JVM): warm
+    # both the regexp_extract_all path (token stats) and the
+    # split+md5+conv shingle pipeline (minhash/simhash) on 50 docs
+    from pero_ocr_api_spark.operators.dedup import minhash_signatures
     from pero_ocr_api_spark.sources.tables import read_table
     from pyspark.sql import functions as F
 
-    read_table(spark, sf_dir, "documents").select(
+    warm_docs = read_table(spark, sf_dir, "documents").limit(50)
+    warm_docs.select(
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
     ).count()
+    minhash_signatures(warm_docs).count()
 
     query_secs: dict[str, float] = {}
     for name in HEADLINE_QUERIES:

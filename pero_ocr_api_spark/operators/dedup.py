@@ -124,6 +124,21 @@ def duckdb_md5_int_sql(expr: str, hex_digits: int) -> str:
 # -------------------------------------------------------------- minhash ---
 
 
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input
+    arrives under-parallelized (e.g. one small parquet file scans as a
+    single partition, serializing the whole shingle+md5 pipeline onto
+    one core — measured 9.0 s → 1.1 s at sf0.1/local[32]). The shuffle
+    moves only (id, text) rows — trivial next to the hashing it
+    parallelizes. At real scale the input is many files/buckets and
+    this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -139,16 +154,13 @@ def minhash_signatures(
     expression where the optimizer inlines the shingle pipeline into
     each of the k signature slots (k× recompute, no partials).
 
-    Note on parallelism: a single small input file scans as 1-2
-    partitions; at real scale the input is many files/buckets and the
-    hash compute spreads naturally. An explicit repartition here
-    measured *slower* on the sandbox (adds a shuffle + AQE re-plan
-    that costs more than the 2-core hashing it parallelizes) — so the
-    spread is left to the input layout, where it belongs."""
+    Input is spread to the cluster parallelism first (see
+    :func:`spread_to_parallelism` — a single-file scan would otherwise
+    serialize the hashing onto one core)."""
     sh_ints = F.explode(
         F.transform(shingles_col(F.col(text_col)), lambda s: md5_int_col(s, 7))
     )
-    exploded = df.select(F.col(id_col), sh_ints.alias("h"))
+    exploded = spread_to_parallelism(df).select(F.col(id_col), sh_ints.alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"_sig{i}"
@@ -299,6 +311,64 @@ FROM {bands_cte} JOIN (
 ) s USING (band_idx, band_hash)"""
 
 
+# ------------------------------------------------------------ winnowing ---
+
+WINNOW_W = 4  # fingerprint window (Schleimer et al. winnowing)
+
+
+def ordered_gram_ints_col(text: Column) -> Column:
+    """Word-3-gram hash *sequence* (document order, duplicates kept —
+    winnowing needs positions, unlike the MinHash shingle set)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_N),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    seq = F.when(n >= SHINGLE_N, grams).otherwise(
+        F.array(F.trim(F.lower(text)))
+    )
+    return F.transform(seq, lambda s: md5_int_col(s, 7))
+
+
+def winnow_col(text: Column, w: int = WINNOW_W) -> Column:
+    """Winnowing fingerprint set: minimum gram hash of every length-w
+    sliding window, deduplicated — the rolling-hash document
+    fingerprint (guarantees shared fingerprints for any shared run of
+    w+k-1 tokens, the property MOSS-style overlap detection needs).
+    Pure Catalyst expressions; one projection per row."""
+    h = ordered_gram_ints_col(text)
+    n = F.size(h)
+    mins = F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda i: F.array_min(F.slice(h, i + 1, w)),
+    )
+    return F.array_distinct(
+        F.when(n >= w, mins).otherwise(F.array(F.array_min(h)))
+    )
+
+
+def duckdb_winnow_sql(expr: str, w: int = WINNOW_W) -> str:
+    toks = duckdb_tokens_sql(expr)
+    grams = (
+        f"list_transform(range(1, len({toks}) - {SHINGLE_N - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {SHINGLE_N - 1}), ' '))"
+    )
+    seq = (
+        f"CASE WHEN len({toks}) >= {SHINGLE_N} THEN {grams} "
+        f"ELSE [trim(lower({expr}))] END"
+    )
+    h = f"list_transform({seq}, s -> {duckdb_md5_int_sql('s', 7)})"
+    mins = (
+        f"list_transform(range(1, len({h}) - {w - 2}), "
+        f"i -> list_min(list_slice({h}, i, i + {w - 1})))"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({h}) >= {w} THEN {mins} "
+        f"ELSE [list_min({h})] END)"
+    )
+
+
 # -------------------------------------------------------------- simhash ---
 
 
@@ -344,7 +414,7 @@ def simhash_signatures(
             lambda t: md5_int_col(t, 4),
         )
     )
-    exploded = df.select(F.col(id_col), vals.alias("h"))
+    exploded = spread_to_parallelism(df).select(F.col(id_col), vals.alias("h"))
     aggs = [
         F.sum(
             (F.floor(F.col("h") / F.lit(2**b)).cast("int") % 2) * 2 - 1

@@ -336,6 +336,51 @@ WHERE a.doc_id < {N_DUP_DOCS}
 """
 
 
+# --- winnowing fingerprint overlap (rolling-hash dedup family) ----------------
+def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: Jaccard over the
+    windowed-min fingerprint sets of each constructed twin pair —
+    MOSS-style overlap detection; a suffix mutation must still share
+    most fingerprints with its original."""
+    all_docs = _with_dups(_docs(spark, sf))
+    fp = all_docs.select(
+        "doc_id", dedup.winnow_col(F.col("text")).alias("fp")
+    )
+    pairs = (
+        fp.filter(F.col("doc_id") < N_DUP_DOCS)
+        .select(F.col("doc_id").alias("id1"), F.col("fp").alias("fp1"))
+        .join(
+            fp.filter(F.col("doc_id") >= DUP_OFFSET).select(
+                (F.col("doc_id") - DUP_OFFSET).alias("id1"),
+                F.col("fp").alias("fp2"),
+            ),
+            "id1",
+        )
+    )
+    return pairs.select(
+        "id1",
+        (F.col("id1") + DUP_OFFSET).alias("id2"),
+        round_bin(dedup.jaccard_col(F.col("fp1"), F.col("fp2")), 4).alias(
+            "overlap"
+        ),
+    ).filter(F.col("overlap") >= 0.3)
+
+
+def _sql_winnow_overlap() -> str:
+    fp = dedup.duckdb_winnow_sql("text")
+    jac = dedup.duckdb_jaccard_sql("a.fp", "b.fp")
+    return f"""
+WITH all_docs AS ({SQL_WITH_DUPS}),
+fps AS (SELECT doc_id, {fp} AS fp FROM all_docs)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       {duckdb_round_bin(jac, 4)} AS overlap
+FROM fps a
+JOIN fps b ON b.doc_id = a.doc_id + {DUP_OFFSET}
+WHERE a.doc_id < {N_DUP_DOCS}
+  AND {duckdb_round_bin(jac, 4)} >= 0.3
+"""
+
+
 # --- similarity search (operators/similarity.py) ----------------------------------
 N_QUERY_VECS = 5
 TOP_K = 5
@@ -723,6 +768,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "lsh_bucket_histogram": (q_lsh_bucket_histogram, _sql_lsh_bucket_histogram()),
     "simhash_buckets": (q_simhash_buckets, SQL_SIMHASH_BUCKETS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
+    "winnow_overlap": (q_winnow_overlap, _sql_winnow_overlap()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_multiprobe_topk": (q_ann_multiprobe_topk, _sql_ann_multiprobe_topk()),
