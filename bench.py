@@ -57,14 +57,14 @@ def _fresh_spark(cores: int):
     )
 
 
-def _run_extract_bench(spark, n_docs: int, runs: int = 3) -> dict:
+def _run_extract_bench(spark, n_docs: int, runs: int = 5) -> dict:
     """Generate corpus distributed, run the full pipeline warm.
 
     Corpus is cached + counted before timing; a 50-doc warm-up run
     boots the python workers. All `runs` warm samples are reported
-    raw; the headline is the *median* (stable round-over-round under
-    this VM's host-steal windows), with best-of also reported (the
-    clean-window rate — steal only ever slows a run)."""
+    raw; the headline is the *median of 5* (stable round-over-round
+    under this VM's host-steal windows), with best-of also reported
+    (the clean-window rate — steal only ever slows a run)."""
     import statistics
 
     from pero_ocr_api_spark.corpus import generate_spark

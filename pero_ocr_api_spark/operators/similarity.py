@@ -87,7 +87,11 @@ def bucket_struct_col(v: Column, dim: int, tables: int, planes: int) -> Column:
 
 
 def _with_norm(emb: DataFrame) -> DataFrame:
-    emb = as_double_vec(emb)
+    # spread first: a single-file embedding scan would serialize the
+    # per-vector dot products onto one core (see dedup.spread_to_parallelism)
+    from pero_ocr_api_spark.operators.dedup import spread_to_parallelism
+
+    emb = as_double_vec(spread_to_parallelism(emb))
     return emb.withColumn("norm", F.sqrt(dot_col(F.col("v"), F.col("v"))))
 
 
