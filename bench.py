@@ -23,8 +23,9 @@ best-of-N (see _scaling_pass for why that estimator).
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_BENCH_DOCS (corpus size),
 SPARK_GRAFT_SCALE_LO/HI (default 1/4), SPARK_GRAFT_SCALE_DOCS
-(default 2x bench docs), SPARK_GRAFT_SCALE_ROUNDS (default 6),
-SPARK_GRAFT_SCALING=0 to skip the scaling pass.
+(default 2x bench docs), SPARK_GRAFT_SCALE_BLOCK/BLOCKS (runs per
+block / max blocks, default 2/7), SPARK_GRAFT_SCALE_BUDGET_S
+(default 720), SPARK_GRAFT_SCALING=0 to skip the scaling pass.
 """
 
 from __future__ import annotations
@@ -174,9 +175,16 @@ def _measure_once(cores: int, path: str, run_id: str) -> float:
     return _measure_block(cores, path, run_id, k=1)[0]
 
 
-def _measure_block(cores: int, path: str, run_id: str, k: int) -> list[float]:
+def _measure_block(
+    cores: int, path: str, run_id: str, k: int, best_so_far: float = 0.0
+) -> list[float]:
     """Fresh session, staged corpus, warmed workers, k back-to-back
     timed runs (warm samples — a long-lived cluster's steady state).
+
+    Steal fail-fast: when a sample lands far below this arm's best so
+    far, the VM is inside a host-steal window — the remaining runs of
+    this block would sample the same window and waste budget that
+    later (possibly clean) blocks need, so the block ends early.
 
     Returns docs/sec per run."""
     from pero_ocr_api_spark.plans.extract import run_extract
@@ -194,6 +202,8 @@ def _measure_block(cores: int, path: str, run_id: str, k: int) -> list[float]:
         extracted, _ = run_extract(spark, docs, media, run_id=f"{run_id}_{i}")
         extracted.count()
         rates.append(n / (time.monotonic() - t0))
+        if rates[-1] < 0.6 * max(best_so_far, *rates):
+            break  # stolen window — stop sampling it
     return rates
 
 
@@ -233,8 +243,8 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
     # c~1.5 s two-arm model fitted on measured samples)
     scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", str(2 * n_docs)))
     runs_per_block = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCK", "2"))
-    max_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "5"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "540"))
+    max_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "7"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "720"))
     _stage_corpus(scale_docs, staging)
 
     def _stable(rates: list[float]) -> bool:
@@ -251,8 +261,14 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
     for b in range(max_blocks):
         if b >= 1 and time.monotonic() - t_start > budget_s:
             break  # driver-timeout guard: never start a block past budget
-        lo_rates += _measure_block(scale_lo, staging, f"lo{b}", runs_per_block)
-        hi_rates += _measure_block(scale_hi, staging, f"hi{b}", runs_per_block)
+        lo_rates += _measure_block(
+            scale_lo, staging, f"lo{b}", runs_per_block,
+            max(lo_rates, default=0.0),
+        )
+        hi_rates += _measure_block(
+            scale_hi, staging, f"hi{b}", runs_per_block,
+            max(hi_rates, default=0.0),
+        )
         blocks_run = b + 1
         print(
             f"[scaling] block {b}: lo={[round(x,1) for x in lo_rates]} "
