@@ -255,20 +255,44 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         top = sorted(rates, reverse=True)[:2]
         return top[1] >= 0.9 * top[0]
 
+    factor = scale_hi / scale_lo
+
+    def _plausible(lo: list[float], hi: list[float]) -> bool:
+        # physical bound: hi can't beat lo by more than the core
+        # ratio, and hi can't be slower than lo — a violation means
+        # one arm's max is still a stolen-window sample
+        return bool(lo) and bool(hi) and 1.0 <= max(hi) / max(lo) <= factor * 1.05
+
     t_start = time.monotonic()
     lo_rates, hi_rates = [], []
     blocks_run = 0
     for b in range(max_blocks):
         if b >= 1 and time.monotonic() - t_start > budget_s:
             break  # driver-timeout guard: never start a block past budget
-        lo_rates += _measure_block(
-            scale_lo, staging, f"lo{b}", runs_per_block,
-            max(lo_rates, default=0.0),
-        )
-        hi_rates += _measure_block(
-            scale_hi, staging, f"hi{b}", runs_per_block,
-            max(hi_rates, default=0.0),
-        )
+        # adaptive arm choice: spend budget on the arm whose clean
+        # rate is still unmeasured — super-linear ratio means the lo
+        # arm only sampled stolen windows, sub-1x means the hi arm did
+        need_lo = need_hi = True
+        if lo_rates and hi_rates:
+            ratio = max(hi_rates) / max(lo_rates)
+            if ratio > factor * 1.05:
+                need_hi = False
+            elif ratio < 1.0:
+                need_lo = False
+            elif _stable(lo_rates) and not _stable(hi_rates):
+                need_lo = False
+            elif _stable(hi_rates) and not _stable(lo_rates):
+                need_hi = False
+        if need_lo:
+            k = runs_per_block if len(lo_rates) < 2 else 1
+            lo_rates += _measure_block(
+                scale_lo, staging, f"lo{b}", k, max(lo_rates, default=0.0)
+            )
+        if need_hi:
+            k = runs_per_block if len(hi_rates) < 2 else 1
+            hi_rates += _measure_block(
+                scale_hi, staging, f"hi{b}", k, max(hi_rates, default=0.0)
+            )
         blocks_run = b + 1
         print(
             f"[scaling] block {b}: lo={[round(x,1) for x in lo_rates]} "
@@ -277,12 +301,16 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
             file=sys.stderr,
             flush=True,
         )
-        if b + 1 >= 2 and _stable(lo_rates) and _stable(hi_rates):
+        if (
+            b + 1 >= 2
+            and _stable(lo_rates)
+            and _stable(hi_rates)
+            and _plausible(lo_rates, hi_rates)
+        ):
             break
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
-    factor = scale_hi / scale_lo
     speedup_clean = max(hi_rates) / max(lo_rates)
     return {
         "cores_lo": scale_lo,
@@ -302,6 +330,10 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         ),
         "max_stable_lo": _stable(lo_rates),
         "max_stable_hi": _stable(hi_rates),
+        # False = one arm never measured a clean window (max-ratio
+        # outside the physical [1, cores-ratio] band) — the efficiency
+        # above is then a steal artifact, not a measurement
+        "plausible": _plausible(lo_rates, hi_rates),
     }
 
 

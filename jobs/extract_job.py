@@ -34,6 +34,12 @@ def parse_args(argv):
     p.add_argument("--run-id", default=f"run-{int(time.time())}")
     p.add_argument("--resume", action="store_true", help="skip already-extracted doc_ids")
     p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument(
+        "--table-format",
+        choices=["parquet", "iceberg"],
+        default="parquet",
+        help="iceberg: --output is a catalog table; sink is MERGE INTO",
+    )
     p.add_argument("--min-confidence", type=float, default=None)
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     return p.parse_args(argv)
@@ -81,7 +87,9 @@ def main(argv=None) -> int:
         resume_from=resume_from,
         salt_buckets=args.salt_buckets,
     )
-    written = write_extracted(spark, extracted, args.output)
+    written = write_extracted(
+        spark, extracted, args.output, table_format=args.table_format
+    )
     lineage_path = args.lineage or f"{args.output.rstrip('/')}_lineage"
     lineage.write.mode("append").parquet(lineage_path)
     wall = time.monotonic() - t0
