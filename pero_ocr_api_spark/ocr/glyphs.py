@@ -140,9 +140,6 @@ def decode_cells(line_img: np.ndarray, scale: int) -> tuple[str, float]:
     cells = binary.reshape(h, n_cells, PITCH * scale).transpose(1, 0, 2)[
         :, :, : GLYPH_W * scale
     ]
-    gray = line_img.reshape(h, n_cells, PITCH * scale).transpose(1, 0, 2)[
-        :, :, : GLYPH_W * scale
-    ]
     # block-mean downsample to the 7x5 grid; integer form of mean>0.5
     # (sum*2 > scale^2) — exact, no float conversion. Two single-axis
     # sums (innermost axis first, contiguous after the astype copy)
@@ -164,11 +161,15 @@ def decode_cells(line_img: np.ndarray, scale: int) -> tuple[str, float]:
     chars = np.where(nonempty, _ALPHABET_ARR[best], " ")
     text = "".join(chars.tolist()).rstrip(" ")
     # exact identity replacing the boolean fancy-index gray[cells]:
-    # background pixels are all 255, so sum(gray over ink pixels)
-    # == sum(gray) - 255 * (n_pixels - n_ink) — one contiguous sum
+    # non-ink pixels are all 255 and ink never falls in gap columns
+    # (render contract: gaps/padding stay background, ink < threshold),
+    # so sum(gray over ink) == sum(whole line) - 255*(n_pixels - n_ink)
+    # — one contiguous sum over the raw line, no strided gray view
     n_ink = int(counts.sum())
     if n_ink:
-        ink_gray_sum = int(gray.sum(dtype=np.int64)) - 255 * (gray.size - n_ink)
+        ink_gray_sum = int(line_img.sum(dtype=np.int64)) - 255 * (
+            line_img.size - n_ink
+        )
         mean_ink = float(ink_gray_sum) / n_ink
         conf = max(0.0, min(1.0, 1.0 - 2.0 * mean_ink / 255.0))
     else:

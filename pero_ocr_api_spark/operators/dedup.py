@@ -15,11 +15,16 @@ has a DuckDB SQL twin for the driver's oracle. MinHash "permutations"
 are md5(salt || shingle) minima compared lexicographically as hex
 strings — portable across any engine with md5 + string min.
 
-Scale notes: signatures are fixed-width (k strings) per doc —
+Scale notes: signatures are fixed-width (k ints) per doc —
 shuffle-light; the LSH self-join shuffles on (band_idx, band_hash),
-which is uniformly distributed by construction; exact dedup is one
-hash aggregate. Jaccard verification is only computed on LSH
-candidates, never all-pairs.
+which is uniformly distributed by construction *except* for
+boilerplate-identical mega-groups on real web data — those buckets
+are capped: above :data:`MAX_BUCKET` members the clique collapses to
+a star around the bucket's min id (linear fan-out, connectivity
+preserved for keep-min-id dedup). Exact dedup is one hash aggregate.
+Jaccard verification is only computed on LSH candidates, never
+all-pairs. Under-parallelized inputs (single-file scans) are spread
+to cluster parallelism before hashing.
 """
 
 from __future__ import annotations
