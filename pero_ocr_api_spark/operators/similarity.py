@@ -169,6 +169,79 @@ def ann_topk(
     return _topk(_cosine(sims), k)
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, rank_limit: int = 1
+) -> DataFrame:
+    """Assign each vector to its `rank_limit` nearest centroids by
+    cosine (rounded, centroid-id tie-break — deterministic across
+    engines). Returns (vec_id, cell, rn)."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell",
+        round_bin(
+            dot_col(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 4
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rank_limit)
+        .select("vec_id", "cell", "rn")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int,
+    dim: int,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
+    cells around coarse centroids; a query probes its `nprobe` nearest
+    cells and re-scores exactly inside them.
+
+    Centroids here are the first `nlist` corpus vectors (the sampling
+    step of k-means|| init) — deterministic and data-derived, so the
+    DuckDB oracle computes the identical structure from the same
+    table; a production build would Lloyd-iterate the sample on the
+    driver and broadcast, which changes only the centroid rows.
+
+    Scale shape: the cell id is the partition key of the inverted
+    file (cluster-by on write); assignment is a broadcast cross-join
+    against nlist rows (nlist ~ sqrt(N) << N); probing fans out only
+    the query side nprobe ways. Complements the LSH path: IVF adapts
+    to the data's density, LSH needs no training."""
+    e = _with_norm(emb)
+    cents = e.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    cells = ivf_assign(e, cents, 1).select("vec_id", "cell")
+    q_probe = ivf_assign(e.join(query_ids, "vec_id"), cents, nprobe).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    cand = (
+        cells.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    q_vec = e.join(query_ids, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    sims = cand.join(e, "vec_id").join(F.broadcast(q_vec), "qid")
+    return _topk(_cosine(sims), k)
+
+
 def ann_topk_multiprobe(
     emb: DataFrame,
     query_ids: DataFrame,

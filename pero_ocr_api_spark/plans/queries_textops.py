@@ -490,6 +490,58 @@ SELECT qid, vec_id, cosine, rn FROM (
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: nlist coarse cells (inverted file), nprobe-cell query
+    fan-out, exact re-score inside probed cells — the trained-
+    quantizer counterpart to the LSH path."""
+    emb = read_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, _query_ids(spark, sf), TOP_K, EMB_DIM)
+
+
+def _sql_ivf_topk() -> str:
+    ccos = duckdb_round_bin(
+        "list_dot_product(e.v, c.cv) / (e.norm * c.cn)", 4
+    )
+    cos = "list_dot_product(a.v, q.v) / (a.norm * q.norm)"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, v AS cv, norm AS cn FROM emb
+  WHERE vec_id < {similarity.IVF_NLIST}
+),
+assigned AS (
+  SELECT vec_id, cell, rn FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN cents c)
+),
+cells AS (SELECT vec_id, cell FROM assigned WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS qid, cell FROM assigned
+  WHERE rn <= {similarity.IVF_NPROBE} AND vec_id < {N_QUERY_VECS}
+),
+cand AS (
+  SELECT DISTINCT q.qid, cl.vec_id
+  FROM cells cl JOIN qprobe q USING (cell)
+  WHERE cl.vec_id != q.qid
+),
+sims AS (
+  SELECT c.qid, c.vec_id, {duckdb_round_bin(cos, 4)} AS cosine
+  FROM cand c JOIN emb a ON a.vec_id = c.vec_id JOIN emb q ON q.vec_id = c.qid
+)
+SELECT qid, vec_id, cosine, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM sims
+) WHERE rn <= {TOP_K}
+"""
+
+
 def _sql_cosine_topk() -> str:
     dot = "list_dot_product(a.v, q.v)"
     cos = f"{dot} / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v)))"
@@ -772,6 +824,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
     "ann_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_multiprobe_topk": (q_ann_multiprobe_topk, _sql_ann_multiprobe_topk()),
+    "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "knn_label_vote": (q_knn_label_vote, _sql_knn_label_vote()),
