@@ -409,20 +409,22 @@ def simhash_signatures(
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """SimHash via explode + groupBy: each token hashed once, the 16
+    """SimHash via explode + groupBy: each token hashed once, the
     per-bit ±1 balances combine map-side before one shuffle on id —
     the same shape as :func:`minhash_signatures`, and the layout that
-    survives a 100x scale-up."""
+    survives a 100x scale-up. Token-hash width tracks `bits` (16-bit
+    signatures suit histograms; near-pair joins want >=32 bits so
+    buckets don't collide quadratically on large corpora)."""
     vals = F.explode(
         F.transform(
             F.array_distinct(tokens_col(F.col(text_col))),
-            lambda t: md5_int_col(t, 4),
+            lambda t: md5_int_col(t, bits // 4),
         )
     )
     exploded = spread_to_parallelism(df).select(F.col(id_col), vals.alias("h"))
     aggs = [
         F.sum(
-            (F.floor(F.col("h") / F.lit(2**b)).cast("int") % 2) * 2 - 1
+            (F.floor(F.col("h") / F.lit(2**b)).cast("long") % 2) * 2 - 1
         ).alias(f"_b{b}")
         for b in range(bits)
     ]
@@ -436,12 +438,12 @@ def simhash_signatures(
 
 def duckdb_simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:
     toks = f"list_distinct({duckdb_tokens_sql(expr)})"
-    vals = f"list_transform({toks}, t -> {duckdb_md5_int_sql('t', 4)})"
+    vals = f"list_transform({toks}, t -> {duckdb_md5_int_sql('t', bits // 4)})"
     terms = []
     for b in range(bits):
         bit_sum = (
             f"list_sum(list_transform({vals}, "
-            f"v -> CAST(floor(v / {2**b}) AS INTEGER) % 2 * 2 - 1))"
+            f"v -> CAST(floor(v / {2**b}) AS BIGINT) % 2 * 2 - 1))"
         )
         terms.append(f"(CASE WHEN {bit_sum} >= 0 THEN {2**b} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
@@ -449,11 +451,57 @@ def duckdb_simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:
 
 def hamming16_col(a: Column, b: Column) -> Column:
     """Hamming distance between two 16-bit simhashes (xor popcount)."""
-    x = a.bitwiseXOR(b)
-    out = F.lit(0)
-    for bit in range(SIMHASH_BITS):
-        out = out + (F.floor(x / F.lit(2**bit)).cast("int") % 2)
-    return out
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance ≤ 1, in the
+    group-then-pair shape that stays linear on web data:
+
+    1. group by exact signature → (simhash, rep=min id, n);
+    2. *star* within each group: (rep, member, hamming=0) — identical
+       signatures pair with their representative, never with each
+       other (simhash collapses boilerplate/shared-vocabulary docs
+       into huge identical-signature groups; a naive probe join is
+       quadratic in group size — same hazard as the LSH mega-bucket);
+    3. one-bit flip probes between *distinct signatures only*: each
+       group's `bits` flips equi-join back to the group table, pairing
+       representatives (hamming=1). Each distinct signature emits at
+       most `bits` cross pairs — bounded by construction.
+
+    Connectivity is preserved for keep-min-id dedup: every member
+    reaches its representative, and representatives reach Hamming-1
+    neighbor groups. `sigs`: (id_col, simhash)."""
+    groups = sigs.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    star = (
+        sigs.join(groups, "simhash")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(
+            F.col("rep").alias("id1"),
+            F.col(id_col).alias("id2"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    probes = groups.select(
+        F.col("rep").alias("id1"),
+        F.explode(
+            F.array(
+                *[F.col("simhash").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+            )
+        ).alias("probe"),
+    )
+    cross = (
+        probes.join(
+            groups.select(F.col("rep").alias("id2"), F.col("simhash").alias("sim2")),
+            probes.probe == F.col("sim2"),
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.lit(1).alias("hamming"))
+        .distinct()
+    )
+    return star.unionByName(cross)
 
 
 # -------------------------------------------------------------- jaccard ---

@@ -293,6 +293,55 @@ FROM documents GROUP BY 1
 """
 
 
+# --- SimHash near-pairs (Hamming <= 1 via bit-flip probe join) -----------------
+NEAR_PAIR_BITS = 32  # 16-bit buckets collide quadratically; see operator doc
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact re-inserted twins land in their originals' signature
+    groups (hamming-0 star rows); distinct-signature flip probes add
+    hamming-1 representative pairs — linear in corpus, never a
+    within-group quadratic join."""
+    docs = _docs(spark, sf)
+    exact_twins = docs.filter(F.col("doc_id") < N_DUP_DOCS).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(exact_twins)
+    sigs = dedup.simhash_signatures(all_docs, bits=NEAR_PAIR_BITS)
+    return dedup.simhash_near_pairs(sigs, bits=NEAR_PAIR_BITS)
+
+
+def _sql_simhash_near_pairs() -> str:
+    sim = dedup.duckdb_simhash_sql("text", bits=NEAR_PAIR_BITS)
+    flips = ", ".join(f"({1 << b})" for b in range(NEAR_PAIR_BITS))
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id < {N_DUP_DOCS}
+),
+sigs AS (SELECT doc_id, {sim} AS simhash FROM all_docs),
+groups AS (SELECT simhash, min(doc_id) AS rep FROM sigs GROUP BY simhash),
+star AS (
+  SELECT g.rep AS id1, s.doc_id AS id2, 0 AS hamming
+  FROM sigs s JOIN groups g USING (simhash)
+  WHERE s.doc_id != g.rep
+),
+probes AS (
+  SELECT rep AS id1, xor(simhash, f.v) AS probe
+  FROM groups CROSS JOIN (VALUES {flips}) AS f(v)
+),
+cross_pairs AS (
+  SELECT DISTINCT p.id1, g2.rep AS id2, 1 AS hamming
+  FROM probes p JOIN groups g2 ON p.probe = g2.simhash
+  WHERE p.id1 < g2.rep
+)
+SELECT id1, id2, hamming FROM star
+UNION ALL
+SELECT id1, id2, hamming FROM cross_pairs
+"""
+
+
 # --- n-gram Jaccard verification -------------------------------------------------
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact Jaccard over shingle sets for the constructed twin pairs
@@ -819,6 +868,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "lsh_mega_bucket_pairs": (q_lsh_mega_bucket_pairs, _sql_lsh_mega_bucket_pairs()),
     "lsh_bucket_histogram": (q_lsh_bucket_histogram, _sql_lsh_bucket_histogram()),
     "simhash_buckets": (q_simhash_buckets, SQL_SIMHASH_BUCKETS),
+    "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_near_pairs()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _sql_ngram_jaccard_pairs()),
     "winnow_overlap": (q_winnow_overlap, _sql_winnow_overlap()),
     "cosine_topk": (q_cosine_topk, _sql_cosine_topk()),
