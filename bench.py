@@ -36,6 +36,7 @@ import sys
 import time
 
 HEADLINE_QUERIES = (
+    # round-1 set (comparable across rounds)
     "usage_statistics",
     "fair_dequeue",
     "completion_ratio",
@@ -46,6 +47,12 @@ HEADLINE_QUERIES = (
     "minhash_lsh_pairs",
     "simhash_buckets",
     "cosine_topk",
+    # round-2 additions
+    "lsh_mega_bucket_pairs",
+    "simhash_near_pairs",
+    "winnow_overlap",
+    "ann_multiprobe_topk",
+    "ivf_topk",
 )
 
 
