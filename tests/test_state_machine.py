@@ -162,6 +162,13 @@ def test_global_rank_matches_total_order(spark):
     assert ks == sorted(ks)
 
 
+def test_global_rank_edge_cases(spark):
+    empty = spark.range(0).select(F.col("id").alias("k"), "id")
+    assert scheduling.global_rank(empty, ["k", "id"], "r").count() == 0
+    one = spark.range(1).select(F.col("id").alias("k"), "id")
+    assert scheduling.global_rank(one, ["k", "id"], "r").first().r == 1
+
+
 def test_fair_assign_no_single_partition_window(world):
     """The queue-scale ranking must never funnel through one reducer:
     the only SinglePartition exchange allowed is the P-row partition-
