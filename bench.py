@@ -123,7 +123,7 @@ def main() -> None:
     # codegen/JIT cost (first regexp/split expression per JVM): warm
     # both the regexp_extract_all path (token stats) and the
     # split+md5+conv shingle pipeline (minhash/simhash) on 50 docs
-    from pero_ocr_api_spark.operators.dedup import minhash_signatures
+    from pero_ocr_api_spark.operators.dedup import minhash_signatures, winnow_col
     from pero_ocr_api_spark.sources.tables import read_table
     from pyspark.sql import functions as F
 
@@ -132,6 +132,7 @@ def main() -> None:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
     ).count()
     minhash_signatures(warm_docs).count()
+    warm_docs.select(F.size(winnow_col(F.col("text")))).count()
 
     query_secs: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
