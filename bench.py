@@ -251,7 +251,7 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
     # c~1.5 s two-arm model fitted on measured samples)
     scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", str(2 * n_docs)))
     runs_per_block = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCK", "2"))
-    max_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "7"))
+    max_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "10"))
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "720"))
     _stage_corpus(scale_docs, staging)
 
@@ -309,11 +309,18 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
             file=sys.stderr,
             flush=True,
         )
+        # Early-stop ONLY on a converged AND sane measurement. A
+        # "stable but low" ratio (observed: hi consistently ~3x stolen
+        # while lo was clean -> flags true, efficiency 0.32) is
+        # indistinguishable in-run from a bad engine — so keep
+        # sampling to budget; extra samples can only raise a per-arm
+        # max, never bias it.
         if (
             b + 1 >= 2
             and _stable(lo_rates)
             and _stable(hi_rates)
             and _plausible(lo_rates, hi_rates)
+            and max(hi_rates) / max(lo_rates) >= 0.7 * factor
         ):
             break
     import shutil
