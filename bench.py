@@ -270,7 +270,7 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         # physical bound: hi can't beat lo by more than the core
         # ratio, and hi can't be slower than lo — a violation means
         # one arm's max is still a stolen-window sample
-        return bool(lo) and bool(hi) and 1.0 <= max(hi) / max(lo) <= factor * 1.05
+        return bool(lo) and bool(hi) and 1.0 <= max(hi) / max(lo) <= factor
 
     t_start = time.monotonic()
     lo_rates, hi_rates = [], []
@@ -284,7 +284,10 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         need_lo = need_hi = True
         if lo_rates and hi_rates:
             ratio = max(hi_rates) / max(lo_rates)
-            if ratio > factor * 1.05:
+            if ratio > 0.92 * factor:
+                # at/near super-linear: the lo arm almost certainly
+                # hasn't sampled a clean window yet — its max can only
+                # rise, walking the estimate toward truth from above
                 need_hi = False
             elif ratio < 1.0:
                 need_lo = False
@@ -321,7 +324,7 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
             and _stable(lo_rates)
             and _stable(hi_rates)
             and _plausible(lo_rates, hi_rates)
-            and max(hi_rates) / max(lo_rates) >= 0.8 * factor
+            and 0.8 * factor <= max(hi_rates) / max(lo_rates) <= 0.97 * factor
         ):
             break
     import shutil
