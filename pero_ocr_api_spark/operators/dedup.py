@@ -136,10 +136,16 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     one core — measured 9.0 s → 1.1 s at sf0.1/local[32]). The shuffle
     moves only (id, text) rows — trivial next to the hashing it
     parallelizes. At real scale the input is many files/buckets and
-    this is a no-op."""
+    this is a no-op.
+
+    The under-parallelized probe is ``df.inputFiles()`` (cheap plan
+    walk, Connect-safe) rather than ``df.rdd.getNumPartitions()``
+    (which forces the DataFrame through full physical planning into an
+    RDD per call). A non-file source reports zero inputs and gets the
+    spread too — harmless, the shuffle is id+text only."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -287,12 +293,15 @@ def lsh_candidate_pairs(
 
 
 def duckdb_capped_pairs_sql(
-    bands_cte: str = "bands",
     id_col: str = "doc_id",
     max_bucket: int = MAX_BUCKET,
 ) -> str:
-    """DuckDB twin of :func:`lsh_candidate_pairs` (capped form) as a
-    SELECT over an existing bands CTE (doc_id, band_idx, band_hash)."""
+    """DuckDB twin of :func:`lsh_candidate_pairs` (capped form).
+
+    Emits a SELECT that hard-references a ``sized`` CTE — callers must
+    first install it via :func:`duckdb_sized_cte_sql` (which pairs each
+    band row with its bucket's count + min id). The two helpers are a
+    pair by contract; there is no independent bands parameter here."""
     return f"""
 SELECT DISTINCT id1, id2 FROM (
   SELECT a.{id_col} AS id1, b.{id_col} AS id2

@@ -88,15 +88,22 @@ def global_rank(
        ranks — a P-row aggregate (P = shuffle partitions), so *its*
        single-partition window moves metadata, not data.
 
-    One lazy plan, no ``collect()``; with AQE the range exchange is
-    shared between the count branch and the rank branch
-    (ReusedExchange)."""
+    Both consumers (the ranked rows and the per-partition sizes)
+    derive from the SAME windowed DataFrame — sizes are
+    ``max(row_number)`` per partition rather than a count over the
+    bare exchange — so the shared subtree covers the exchange *and*
+    the sort, and Spark's exchange reuse (on by default, plus AQE's
+    ReusedExchange) executes the range partitioning once. If the
+    exchange were somehow re-executed with different sampled range
+    boundaries, deriving both branches from one subtree maximizes the
+    reused prefix; the joint key is ``_pid`` from the same window
+    pass, never two independently-sampled partitionings."""
     arranged = df.repartitionByRange(*sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("_pid").orderBy(*sort_cols)
     local = arranged.withColumn("_lrank", F.row_number().over(local_w))
-    sizes = arranged.groupBy("_pid").agg(F.count("*").alias("_psize"))
+    sizes = local.groupBy("_pid").agg(F.max("_lrank").alias("_psize"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.select(
         "_pid",

@@ -169,8 +169,176 @@ def ann_topk(
     return _topk(_cosine(sims), k)
 
 
+# ---------------------------------------------------- corpus-scale self-join ---
+
+ANN_SELF_PLANES = 8  # more planes than the query path: bucket size is
+# the self-join fan-out, so it must shrink as the corpus grows (add a
+# plane per doubling); the star cap below is the backstop for
+# degenerate dense clusters that no plane count can split.
+ANN_SELF_TABLES = 2
+
+
+def ann_self_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    tables: int = ANN_SELF_TABLES,
+    planes: int = ANN_SELF_PLANES,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Corpus-scale near-pair discovery: the whole corpus vs itself,
+    with NO broadcast of either side — the op a 100 TB embedding-dedup
+    run actually needs (the ``*_topk`` entries assume a broadcast-sized
+    query set; here query side == corpus).
+
+    Shape: every vector lands in one bucket per hash table; candidate
+    pairs come from a *bucketed equi-self-join* on (table, bucket),
+    reusing the dedup LSH cap machinery (`lsh_candidate_pairs`) — a
+    bucket up to ``max_bucket`` members emits its clique, an oversized
+    bucket (a dense near-identical cluster, the web-scale hazard)
+    collapses to a star around its min id, keeping keep-min-id
+    connectivity at linear fan-out. Candidates are deduped across
+    tables before the exact cosine re-score, and both vector joins are
+    plain shuffles on vec_id — Catalyst/AQE may still *choose* a
+    broadcast when a side is genuinely small, but nothing in this plan
+    requires one (asserted in tests: no broadcast hint, and the plan
+    compiles to shuffle joins with broadcasting disabled)."""
+    from pero_ocr_api_spark.operators import dedup
+
+    if max_bucket is None:
+        max_bucket = dedup.MAX_BUCKET
+    e = _with_norm(emb)
+    bands = e.select(
+        "vec_id",
+        F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias("b"),
+    ).select(
+        "vec_id",
+        F.col("b.t").alias("band_idx"),
+        F.col("b.bucket").alias("band_hash"),
+    )
+    cand = dedup.lsh_candidate_pairs(bands, id_col="vec_id", max_bucket=max_bucket)
+    scored = (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("id1"),
+                F.col("v").alias("v1"),
+                F.col("norm").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("id2"),
+                F.col("v").alias("v2"),
+                F.col("norm").alias("n2"),
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            round_bin(
+                dot_col(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
+IVF_SAMPLE_MOD = 4  # deterministic training sample: vec_id % mod == 1
+IVF_LLOYD_ITERS = 2
+
+
+def quant16(c: Column) -> Column:
+    """Snap a double onto the 2^-16 binary grid (round-half-up).
+
+    This is the exact-arithmetic keystone of the trained-IVF oracle
+    parity: grid values are exactly representable doubles, so every
+    cross-row SUM of them (centroid means, dot products of grid
+    vectors) is exact and therefore independent of Spark's partial-
+    aggregation order vs DuckDB's — the one place float summation
+    order could diverge between engines. x*65536 (power-of-two
+    multiply), +0.5, floor, /65536 are each individually exact, so
+    the whole expression is bit-identical across engines."""
+    return F.floor(c * F.lit(65536.0) + F.lit(0.5)) / F.lit(65536.0)
+
+
+def duckdb_quant16_sql(expr: str) -> str:
+    return f"(floor({expr} * 65536.0 + 0.5) / 65536.0)"
+
+
+def ivf_train_centroids(
+    e: DataFrame,
+    nlist: int = IVF_NLIST,
+    sample_mod: int = IVF_SAMPLE_MOD,
+    iters: int = IVF_LLOYD_ITERS,
+) -> DataFrame:
+    """K-means-trained coarse centroids for the IVF index, fully
+    distributed (no collect): deterministic spread sample → ntile
+    init → `iters` Lloyd iterations as tiny Spark jobs.
+
+    * sample: ``vec_id % sample_mod == 1`` — scale the modulus so the
+      sample is metadata-sized (~nlist*256 rows at production scale);
+      its ntile window runs single-partition over *metadata*, like the
+      P-row offset table in scheduling.global_rank.
+    * init: ntile(nlist) over vec_id order, one representative per
+      tile — spread across the ingest order, so data clustered by
+      ingest (where first-n init collapses into one region) still gets
+      covering centroids.
+    * Lloyd: assign sample to nearest centroid by cosine (tie-break
+      cell id), recompute element-wise means, re-snap onto the 2^-16
+      grid (see :func:`quant16` — keeps every sum exact so the DuckDB
+      oracle reproduces the centroids bit-for-bit).
+
+    Returns (cell, cv, cn) — broadcast-sized (nlist rows)."""
+    samp = e.filter(F.col("vec_id") % sample_mod == 1).select(
+        "vec_id", F.transform("v", quant16).alias("vq")
+    )
+    w_tile = Window.orderBy("vec_id")
+    tiled = samp.withColumn("cell", F.ntile(nlist).over(w_tile))
+    w_rep = Window.partitionBy("cell").orderBy("vec_id")
+    cents = (
+        tiled.withColumn("rn", F.row_number().over(w_rep))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("vq").alias("cv"))
+    )
+    for _ in range(iters):
+        scored = samp.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            (
+                dot_col(F.col("vq"), F.col("cv"))
+                / (
+                    F.sqrt(dot_col(F.col("vq"), F.col("vq")))
+                    * F.sqrt(dot_col(F.col("cv"), F.col("cv")))
+                )
+            ).alias("s"),
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), "cell")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+        vals = assign.join(samp, "vec_id").select(
+            "cell", F.posexplode("vq").alias("pos", "val")
+        )
+        means = (
+            vals.groupBy("cell", "pos")
+            .agg((F.sum("val") / F.count("*")).alias("raw"))
+            .select("cell", "pos", quant16(F.col("raw")).alias("m"))
+        )
+        cents = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    return cents.select(
+        "cell", "cv", F.sqrt(dot_col(F.col("cv"), F.col("cv"))).alias("cn")
+    )
 
 
 def ivf_assign(
@@ -201,16 +369,21 @@ def ivf_topk(
     dim: int,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
+    trained: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
     cells around coarse centroids; a query probes its `nprobe` nearest
     cells and re-scores exactly inside them.
 
-    Centroids here are the first `nlist` corpus vectors (the sampling
-    step of k-means|| init) — deterministic and data-derived, so the
-    DuckDB oracle computes the identical structure from the same
-    table; a production build would Lloyd-iterate the sample on the
-    driver and broadcast, which changes only the centroid rows.
+    ``trained=True`` (default) runs :func:`ivf_train_centroids` —
+    a deterministic spread sample + Lloyd iterations, fully in
+    DataFrame ops, reproduced bit-for-bit by the DuckDB oracle via
+    2^-16-grid exact arithmetic. ``trained=False`` keeps the naive
+    first-`nlist`-vectors init (the k-means|| sampling step alone) —
+    retained because it is the instructive failure mode: on data
+    clustered by ingest order its centroids collapse into one region
+    and recall craters (tests/test_similarity_recall.py measures
+    exactly this).
 
     Scale shape: the cell id is the partition key of the inverted
     file (cluster-by on write); assignment is a broadcast cross-join
@@ -218,11 +391,14 @@ def ivf_topk(
     the query side nprobe ways. Complements the LSH path: IVF adapts
     to the data's density, LSH needs no training."""
     e = _with_norm(emb)
-    cents = e.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cn"),
-    )
+    if trained:
+        cents = ivf_train_centroids(e, nlist)
+    else:
+        cents = e.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
     cells = ivf_assign(e, cents, 1).select("vec_id", "cell")
     q_probe = ivf_assign(e.join(query_ids, "vec_id"), cents, nprobe).select(
         F.col("vec_id").alias("qid"), "cell"
@@ -240,6 +416,68 @@ def ivf_topk(
     )
     sims = cand.join(e, "vec_id").join(F.broadcast(q_vec), "qid")
     return _topk(_cosine(sims), k)
+
+
+def duckdb_ivf_cents_cte_sql(
+    dim: int,
+    nlist: int = IVF_NLIST,
+    sample_mod: int = IVF_SAMPLE_MOD,
+    iters: int = IVF_LLOYD_ITERS,
+    emb_cte: str = "emb",
+) -> str:
+    """DuckDB twin of :func:`ivf_train_centroids` as a CTE chain ending
+    in ``cents (cell, cv, cn)``. Expects an ``{emb_cte}`` CTE with
+    (vec_id, v DOUBLE[]). Bit-identical to the Spark path because all
+    cross-row sums run over 2^-16-grid values (see :func:`quant16`) —
+    exact in any accumulation order."""
+    q = duckdb_quant16_sql
+    parts = [
+        f"""samp AS (
+  SELECT vec_id, list_transform(v, x -> {q('x')}) AS vq
+  FROM {emb_cte} WHERE vec_id % {sample_mod} = 1
+)""",
+        f"""tiled AS (
+  SELECT vec_id, vq, ntile({nlist}) OVER (ORDER BY vec_id) AS cell FROM samp
+)""",
+        """c0 AS (
+  SELECT cell, vq AS cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM tiled
+  ) WHERE rn = 1
+)""",
+    ]
+    cos = (
+        "list_dot_product(s.vq, c.cv) / "
+        "(sqrt(list_dot_product(s.vq, s.vq)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell, row_number() OVER (
+      PARTITION BY s.vec_id ORDER BY {cos} DESC, c.cell) AS rn
+    FROM samp s CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+)""",
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, {q('(sum(val) / count(*))')} AS m
+    FROM (
+      SELECT a.cell, r.pos, s.vq[r.pos] AS val
+      FROM a{i} a JOIN samp s USING (vec_id)
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS pos
+                  FROM range(1, {dim + 1})) r
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)""",
+        )
+    parts.append(
+        f"cents AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn "
+        f"FROM c{iters})"
+    )
+    return ",\n".join(parts)
 
 
 def ann_topk_multiprobe(

@@ -56,6 +56,24 @@ from pero_ocr_api_spark.sources.tables import LINEAGE_SCHEMA
 
 LINEAGE_SENTINEL = "__lineage__"
 
+# run_id -> persisted media-UDF output (see media_path). Callers that
+# are done with a run's (rows, lineage) DataFrames should call
+# release_run(run_id) to free the cached partitions.
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def release_run(run_id: str) -> None:
+    """Unpersist the cached media-UDF output of one extraction run."""
+    df = _PERSISTED.pop(run_id, None)
+    if df is not None:
+        df.unpersist()
+
+
+def release_all_runs() -> None:
+    """Unpersist every tracked extraction cache (session teardown)."""
+    for run_id in list(_PERSISTED):
+        release_run(run_id)
+
 MEDIA_OUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -215,8 +233,21 @@ def media_path(
     )
     out = joined.mapInPandas(_media_map_fn(cfg, run_id), MEDIA_OUT_SCHEMA)
     # the UDF output feeds two consumers (extracted rows + lineage);
-    # persist so the expensive OCR stage runs exactly once
+    # persist so the expensive OCR stage runs exactly once. Persisted
+    # outputs are tracked per run_id: re-running the same run_id
+    # replaces (and unpersists) the previous cache, and callers free
+    # storage explicitly via release_run()/release_all_runs() — a
+    # long-lived session no longer accumulates cached partitions
+    # until LRU eviction.
+    # (unpersist the previous same-run_id cache BEFORE persisting: an
+    # identical plan re-persisted maps to the same CacheManager entry,
+    # and unpersisting the old handle afterwards would drop the new
+    # cache with it)
+    prev = _PERSISTED.pop(run_id, None)
+    if prev is not None:
+        prev.unpersist()
     out = out.persist()
+    _PERSISTED[run_id] = out
     rows = out.filter(F.col("media_ref").isNull() | (F.col("media_ref") != LINEAGE_SENTINEL))
     lineage_raw = out.filter(F.col("media_ref") == LINEAGE_SENTINEL)
     lineage = lineage_raw.select(

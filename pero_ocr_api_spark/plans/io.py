@@ -47,20 +47,36 @@ def write_extracted(
     there). ``table_format="iceberg"`` takes `path` as a catalog
     table name and issues the real ``MERGE INTO`` keyed by doc_id;
     it requires the Iceberg runtime on the classpath (not present in
-    this sandbox — the parquet anti-join below keeps the identical
+    this sandbox, so this branch is UNTESTED here — see COVERAGE.md;
+    the parquet anti-join below keeps the identical
     exactly-once-per-doc_id contract and is what the tests exercise,
     safe because doc_id is the primary key and a doc's row is
-    immutable once written)."""
+    immutable once written).
+
+    The incoming batch is deduplicated on doc_id first: a retried
+    upstream stage can hand this function two copies of a doc, and
+    both ``WHEN NOT MATCHED`` and the parquet anti-join only guard
+    against rows already in the *target* — without the source dedupe
+    they would land twice. The Iceberg temp view gets a unique
+    per-call name so two concurrent ``write_extracted`` calls in one
+    SparkSession cannot race on it."""
+    extracted = extracted.dropDuplicates(["doc_id"])
     if table_format == "iceberg":
-        extracted.createOrReplaceTempView("_new_extracted")
-        spark.sql(
-            f"""
-            MERGE INTO {path} t
-            USING _new_extracted s
-            ON t.doc_id = s.doc_id
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        import uuid
+
+        view = f"_new_extracted_{uuid.uuid4().hex}"
+        extracted.createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                f"""
+                MERGE INTO {path} t
+                USING {view} s
+                ON t.doc_id = s.doc_id
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         return -1
     done = read_done_ids(spark, path)
     new_rows = (

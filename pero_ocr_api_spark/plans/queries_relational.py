@@ -386,6 +386,50 @@ WHERE c_custkey = 42 LIMIT 1
 """
 
 
+# --- F1 fidelity edge: malformed-key guard (general.py:16-25) -----------------
+# The reference wraps every point lookup in try/except StatementError:
+# a malformed UUID string parses to None and the lookup returns no row
+# instead of erroring. The relational analog: keys arrive as *strings*
+# from the API layer; try_cast-to-null turns a malformed key into a
+# no-match (and Spark 4's ANSI mode would otherwise throw on the cast).
+MALFORMED_PROBE_KEYS = ("42", "977", "12x34", "", "-7", "9999999999999999999999")
+
+
+def q_point_lookup_malformed(spark: SparkSession, sf: str) -> DataFrame:
+    customer = read_table(spark, sf, "customer")
+    probes = spark.createDataFrame(
+        [(k,) for k in MALFORMED_PROBE_KEYS], "key_str string"
+    )
+    parsed = probes.select(
+        "key_str",
+        F.col("key_str").try_cast("long").alias("key_id"),
+    )
+    return (
+        parsed.join(
+            customer.select(F.col("c_custkey").alias("key_id"), "c_name"),
+            "key_id",
+            "left",
+        )
+        .select(
+            "key_str",
+            F.col("key_id").isNotNull().alias("well_formed"),
+            F.col("c_name").isNotNull().alias("found"),
+        )
+    )
+
+
+SQL_POINT_LOOKUP_MALFORMED = f"""
+WITH probes AS (
+  SELECT * FROM (VALUES {', '.join(f"('{k}')" for k in MALFORMED_PROBE_KEYS)})
+  AS p(key_str)
+),
+parsed AS (SELECT key_str, TRY_CAST(key_str AS BIGINT) AS key_id FROM probes)
+SELECT p.key_str, p.key_id IS NOT NULL AS well_formed,
+       c.c_name IS NOT NULL AS found
+FROM parsed p LEFT JOIN customer c ON c.c_custkey = p.key_id
+"""
+
+
 # --- F10: IN-list state filter (general.py:50,60) ----------------------------
 def q_in_list_filter(spark: SparkSession, sf: str) -> DataFrame:
     events = read_table(spark, sf, "events")
@@ -645,6 +689,10 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "timeout_requeue": (q_timeout_requeue, SQL_TIMEOUT_REQUEUE),
     "cancel_anti_join": (q_cancel_anti_join, SQL_CANCEL_ANTI_JOIN),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "point_lookup_malformed": (
+        q_point_lookup_malformed,
+        SQL_POINT_LOOKUP_MALFORMED,
+    ),
     "in_list_filter": (q_in_list_filter, SQL_IN_LIST_FILTER),
     "null_or_filter": (q_null_or_filter, SQL_NULL_OR_FILTER),
     "navigate_joins": (q_navigate_joins, SQL_NAVIGATE_JOINS),

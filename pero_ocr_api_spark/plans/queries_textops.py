@@ -228,14 +228,31 @@ FROM range({N_MEGA}) r CROSS JOIN (SELECT text FROM documents WHERE doc_id = 0) 
 """
 
 
+# (session applicationId, sf_dir) -> cached bands DF. The pairs and
+# histogram queries run over the SAME mega corpus; sharing one cached
+# bands DF means the shingle+md5+minhash pipeline runs once instead of
+# once per query (it was ~2x the combined cost). Bands rows are
+# (doc_id, band_idx, band_hash) — a few hundred KB, bounded.
+_MEGA_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _mega_bands(spark: SparkSession, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    bands = _MEGA_BANDS_CACHE.get(key)
+    if bands is None:
+        all_docs = _with_mega(spark, _docs(spark, sf))
+        sigs = dedup.minhash_signatures(all_docs)
+        bands = dedup.lsh_bands_df(sigs).cache()
+        _MEGA_BANDS_CACHE.clear()  # one live session: drop stale keys
+        _MEGA_BANDS_CACHE[key] = bands
+    return bands
+
+
 def q_lsh_mega_bucket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-guarded candidate pairs on the mega-bucket corpus: the
     501-member bucket collapses to a 500-row star around doc 0 instead
     of a 125k-row clique (operators/dedup.py:lsh_candidate_pairs)."""
-    all_docs = _with_mega(spark, _docs(spark, sf))
-    sigs = dedup.minhash_signatures(all_docs)
-    bands = dedup.lsh_bands_df(sigs).cache()
-    return dedup.lsh_candidate_pairs(bands).filter(
+    return dedup.lsh_candidate_pairs(_mega_bands(spark, sf)).filter(
         F.col("id2") >= MEGA_OFFSET
     )
 
@@ -252,9 +269,7 @@ WHERE id2 >= {MEGA_OFFSET}
 def q_lsh_bucket_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """The cap's metric surface: per band, bucket count, largest
     bucket, and how many buckets the star-guard truncated."""
-    all_docs = _with_mega(spark, _docs(spark, sf))
-    sigs = dedup.minhash_signatures(all_docs)
-    sizes = dedup.lsh_bucket_sizes(dedup.lsh_bands_df(sigs))
+    sizes = dedup.lsh_bucket_sizes(_mega_bands(spark, sf))
     return sizes.groupBy("band_idx").agg(
         F.count("*").alias("n_buckets"),
         F.max("bucket_n").alias("max_bucket_n"),
@@ -542,7 +557,9 @@ SELECT qid, vec_id, cosine, rn FROM (
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: nlist coarse cells (inverted file), nprobe-cell query
     fan-out, exact re-score inside probed cells — the trained-
-    quantizer counterpart to the LSH path."""
+    quantizer counterpart to the LSH path. Centroids are k-means
+    trained (spread sample + Lloyd) and reproduced bit-for-bit by the
+    oracle via 2^-16-grid exact arithmetic."""
     emb = read_table(spark, sf, "embeddings")
     return similarity.ivf_topk(emb, _query_ids(spark, sf), TOP_K, EMB_DIM)
 
@@ -558,10 +575,7 @@ WITH emb AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
 ),
-cents AS (
-  SELECT vec_id AS cell, v AS cv, norm AS cn FROM emb
-  WHERE vec_id < {similarity.IVF_NLIST}
-),
+{similarity.duckdb_ivf_cents_cte_sql(EMB_DIM)},
 assigned AS (
   SELECT vec_id, cell, rn FROM (
     SELECT e.vec_id, c.cell,
@@ -674,6 +688,56 @@ top1 AS (
 )
 SELECT qid - {NEARDUP_OFFSET} AS orig_id, vec_id AS dup_of, cosine
 FROM top1 WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+# --- corpus-scale ANN self-join (no broadcast of either side) ----------------------
+
+
+def q_ann_self_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-corpus embedding near-pair discovery: corpus ∪ scaled
+    twins, bucketed LSH *self*-join on (table, bucket) with the
+    clique→star cap — the op a full-corpus embedding dedup needs,
+    where the query side IS the corpus and nothing can be broadcast
+    (operators/similarity.py:ann_self_pairs)."""
+    emb = read_table(spark, sf, "embeddings")
+    twins = emb.filter(F.col("vec_id") < N_NEARDUP).select(
+        (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"),
+        "label",
+    )
+    all_emb = emb.unionByName(twins)
+    return similarity.ann_self_pairs(all_emb, NEARDUP_THRESHOLD, EMB_DIM)
+
+
+def _sql_ann_self_near_pairs() -> str:
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS band_idx, "
+        f"{_duckdb_bucket_sql('v', similarity.ANN_SELF_PLANES, t)} AS band_hash "
+        f"FROM emb"
+        for t in range(similarity.ANN_SELF_TABLES)
+    )
+    cos = "list_dot_product(a.v, b.v) / (a.norm * b.norm)"
+    return f"""
+WITH all_emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEARDUP_OFFSET}, list_transform(embedding, x -> x * 1.1)
+  FROM embeddings WHERE vec_id < {N_NEARDUP}
+),
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM all_emb
+),
+bands AS ({per_table}),
+sized AS ({dedup.duckdb_sized_cte_sql('bands', 'vec_id')}),
+pairs AS ({dedup.duckdb_capped_pairs_sql('vec_id')})
+SELECT p.id1, p.id2, {duckdb_round_bin(cos, 4)} AS cosine
+FROM pairs p
+JOIN emb a ON a.vec_id = p.id1
+JOIN emb b ON b.vec_id = p.id2
+WHERE {duckdb_round_bin(cos, 4)} >= {NEARDUP_THRESHOLD}
 """
 
 
@@ -875,6 +939,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, _sql_ann_topk()),
     "ann_multiprobe_topk": (q_ann_multiprobe_topk, _sql_ann_multiprobe_topk()),
     "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
+    "ann_self_near_pairs": (q_ann_self_near_pairs, _sql_ann_self_near_pairs()),
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "knn_label_vote": (q_knn_label_vote, _sql_knn_label_vote()),

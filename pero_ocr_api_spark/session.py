@@ -80,6 +80,12 @@ def get_spark(
 
 
 def stop_spark() -> None:
+    # drop any extraction caches tracked against the dying session —
+    # their DataFrame handles would be unusable afterwards and must
+    # not linger in the registry for a later release_run() to trip on
+    from pero_ocr_api_spark.plans import extract as _extract
+
+    _extract._PERSISTED.clear()
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()

@@ -167,7 +167,16 @@ def _timeout_fn(key, pdfs, state):
             }
         )
         return
-    events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    # stable sort + explicit tie-break: at equal ts a terminal event
+    # sorts AFTER the PROCESSING it closes (pandas' default quicksort
+    # could flip them run-to-run, nondeterministically turning a
+    # finished page into a requeue) — matching the reference watchdog,
+    # where a page whose state already reached a terminal value is
+    # never requeued regardless of timestamp ties
+    events = pd.concat(list(pdfs), ignore_index=True)
+    events = events.assign(
+        _prio=events["state"].isin(terminal).astype(int)
+    ).sort_values(["ts", "_prio"], kind="stable")
     latest_processing = None
     finished = False
     for _, row in events.iterrows():

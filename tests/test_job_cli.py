@@ -8,6 +8,8 @@ import sys
 import tempfile
 import zipfile
 
+import pytest
+
 from pero_ocr_api_spark.plans.extract import run_extract
 from pero_ocr_api_spark.plans.io import write_extracted
 
@@ -24,6 +26,82 @@ def test_write_extracted_idempotent(spark, docs_df, media_df):
     back = spark.read.parquet(out)
     assert back.count() == docs_df.count() == 15 + n2
     assert back.select("doc_id").distinct().count() == back.count()
+
+
+def test_write_extracted_dedupes_source_batch(spark, docs_df, media_df):
+    """A retried upstream stage can hand the writer two copies of a
+    doc in ONE batch; the anti-join only guards against rows already
+    in the target, so the writer must dedupe its source too."""
+    out = tempfile.mkdtemp() + "/extracted"
+    rows, _ = run_extract(spark, docs_df.limit(5), media_df, run_id="dup")
+    doubled = rows.unionByName(rows)
+    assert write_extracted(spark, doubled, out) == 5
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert back.select("doc_id").distinct().count() == 5
+
+
+def _has_iceberg(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_write_extracted_iceberg_merge(spark, docs_df, media_df):
+    """The Iceberg MERGE branch of write_extracted — runnable only
+    when the Iceberg runtime is on the classpath, which this sandbox
+    does not ship (see COVERAGE.md: the branch is UNTESTED here; the
+    parquet anti-join path above carries the same contract and is
+    what CI exercises)."""
+    if not _has_iceberg(spark):
+        pytest.skip("Iceberg runtime not on classpath (sandbox)")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS local.db.extracted_t "
+        "(doc_id STRING) USING iceberg"
+    )
+    rows, _ = run_extract(spark, docs_df.limit(5), media_df, run_id="ice")
+    write_extracted(
+        spark, rows.unionByName(rows), "local.db.extracted_t", "iceberg"
+    )
+    write_extracted(spark, rows, "local.db.extracted_t", "iceberg")
+    back = spark.table("local.db.extracted_t")
+    assert back.count() == 5
+    assert back.select("doc_id").distinct().count() == 5
+
+
+def test_media_cache_released(spark, docs_df, media_df):
+    """Repeated run_extract calls must not accumulate cached
+    partitions: release_run() frees each run's media-UDF cache, and
+    re-using a run_id replaces (not stacks) the old cache."""
+    from pero_ocr_api_spark.plans.extract import release_run
+
+    jsc = spark.sparkContext._jsc
+
+    def n_persisted():
+        return jsc.getPersistentRDDs().size()
+
+    # materialize the (cached) corpus fixtures first so their cache
+    # registration doesn't move the baseline mid-test
+    docs_df.count()
+    media_df.count()
+    base = n_persisted()
+    for i in range(3):
+        rows, lineage = run_extract(spark, docs_df, media_df, run_id=f"rel{i}")
+        rows.count()
+        lineage.count()
+        release_run(f"rel{i}")
+    assert n_persisted() == base
+    # same run_id twice: old cache replaced, exactly one extra entry
+    for _ in range(2):
+        rows, _ = run_extract(spark, docs_df, media_df, run_id="rel_same")
+        rows.count()
+    assert n_persisted() == base + 1
+    release_run("rel_same")
+    assert n_persisted() == base
 
 
 def test_job_cli_end_to_end(spark):

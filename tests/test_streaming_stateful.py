@@ -135,3 +135,48 @@ def test_stateful_timeout_survives_very_late_event(spark):
     requeued = {r.page_id: r for r in rows}
     assert "p_late" in requeued, f"late page not requeued: {rows}"
     assert requeued["p_late"].stuck_since == T0
+
+
+def test_timeout_fn_terminal_wins_timestamp_tie():
+    """Unit-level pin of the equal-ts semantics: a terminal event at
+    the SAME ts as a PROCESSING must close the page (stable sort +
+    terminal-after tie-break in _timeout_fn) — pandas' default
+    unstable sort could otherwise flip the outcome run to run."""
+    import pandas as pd
+
+    from pero_ocr_api_spark.streaming.pipeline import _timeout_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self):
+            self.removed = False
+            self.updated = None
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    # terminal delivered FIRST in the batch, same ts as PROCESSING —
+    # after the stable tie-break sort it must still count as closing
+    events = pd.DataFrame(
+        {
+            "page_id": ["p1", "p1"],
+            "state": ["PROCESSED", "PROCESSING"],
+            "ts": [ts, ts],
+        }
+    )
+    state = FakeState()
+    out = list(_timeout_fn(("p1",), iter([events]), state))
+    assert out == []
+    assert state.removed, "terminal at equal ts must close the page"
+    assert state.updated is None
