@@ -53,6 +53,10 @@ HEADLINE_QUERIES = (
     "winnow_overlap",
     "ann_multiprobe_topk",
     "ivf_topk",
+    # round-3 additions
+    "ann_self_near_pairs",
+    "benchmark_contamination",
+    "repetition_stats",
 )
 
 

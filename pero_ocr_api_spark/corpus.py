@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pero_ocr_api_spark.ocr import png
+from pero_ocr_api_spark.ocr import pdf, png
 from pero_ocr_api_spark.ocr.render import (
     MIN_BLOCK_GAP_X,
     MIN_BLOCK_GAP_Y,
@@ -202,6 +202,27 @@ def doc_record(seed: int, idx: int) -> tuple[dict, list[dict]]:
                 "media_kind": "application/pdf",
                 "media_bytes": b"%PDF-1.4 fake",
                 "truth_text": None,
+            }
+        )
+    if idx == 9:
+        # digital-text PDF span: a REAL one-page PDF (Flate content
+        # stream, ocr/pdf.py writer) whose text the extractor must
+        # recover verbatim — escape-heavy line included on purpose
+        ref = f"m{idx:09d}_pdf"
+        pdf_lines = [
+            "digital pdf line one",
+            r"parens (nested (deep)) and back\slash",
+            "final pdf line",
+        ]
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "application/pdf",
+                "media_bytes": pdf.encode_text_pdf(pdf_lines),
+                "truth_text": "\n".join(pdf_lines),
             }
         )
     # physical order shuffled; offset carries reading order (FIXTURES §1)

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from pero_ocr_api_spark.functions.arabic import is_arabic_line
-from pero_ocr_api_spark.ocr import exports, layout, png
+from pero_ocr_api_spark.ocr import exports, layout, pdf, png
 from pero_ocr_api_spark.ocr.layout import Block, Line
 
 STATE_PROCESSED = "PROCESSED"
@@ -78,17 +78,31 @@ def process_media(
             state=STATE_NOT_FOUND,
             error=f"media_ref {media_ref!r} not found in media table",
         )
+    # decode stage → INVALID_FILE on failure. Two real decode paths:
+    # raster pages (PNG → layout analysis + glyph OCR) and digital-text
+    # PDFs (content-stream text operators, ocr/pdf.py — no
+    # rasterization, per-line confidence 1.0); everything else is the
+    # whitelist refusal (S2), same as a malformed file.
+    pdf_lines: list[str] | None = None
+    gray = None
     try:
-        if media_kind != "image/png":
+        if media_kind == "image/png":
+            gray = png.decode_gray(media_bytes)
+        elif media_kind == "application/pdf":
+            pdf_lines = pdf.extract_text(media_bytes)
+        else:
             raise png.PngError(f"unsupported media_kind {media_kind!r}")
-        gray = png.decode_gray(media_bytes)
     except Exception:
         return MediaResult(
             state=STATE_INVALID_FILE, error=traceback.format_exc()
         )
     try:
-        blocks = layout.analyze_page(gray, int(cfg["scale"]))
-        page_wh = (gray.shape[1], gray.shape[0])
+        if gray is not None:
+            blocks = layout.analyze_page(gray, int(cfg["scale"]))
+            page_wh = (gray.shape[1], gray.shape[0])
+        else:
+            blocks = pdf.to_blocks(pdf_lines)
+            page_wh = (pdf.PAGE_W, pdf.PAGE_H)
         # ALTO first: unfiltered, unnormalized (run_client.py:209)
         alto = exports.to_alto_xml(
             blocks,

@@ -78,6 +78,36 @@ def duckdb_shingles_sql(expr: str) -> str:
     )
 
 
+def word_ngram_ints_col(text: Column, n: int) -> Column:
+    """Distinct word-n-gram md5 ints; EMPTY when the text has fewer
+    than n tokens (contamination windows must never degrade to
+    whole-text matches — unlike the 3-gram shingles above, which fall
+    back to the full text for dedup recall)."""
+    toks = tokens_col(text)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+    )
+    hashed = F.transform(grams, lambda g: md5_int_col(g, 7))
+    return F.when(cnt >= n, F.array_distinct(hashed)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def duckdb_word_ngram_ints_sql(expr: str, n: int) -> str:
+    toks = duckdb_tokens_sql(expr)
+    grams = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    hashed = f"list_transform({grams}, g -> {duckdb_md5_int_sql('g', 7)})"
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN list_distinct({hashed}) "
+        f"ELSE [] END)"
+    )
+
+
 # ---------------------------------------------------------------- exact ---
 
 

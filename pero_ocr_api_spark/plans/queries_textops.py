@@ -878,6 +878,192 @@ GROUP BY lang
 """
 
 
+# --- benchmark decontamination (n-gram overlap vs an eval set) ---------------
+CONTAM_N = 8  # 8-gram window — the standard decontamination unit
+N_BENCH_ITEMS = 10
+CONTAM_WINDOW_TOKENS = 16
+CONTAM_MIN_SHARED = 2
+
+
+def q_benchmark_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-set decontamination: flag corpus docs sharing ≥2
+    distinct 8-grams with any benchmark item. The benchmark set is
+    constructed in-query (the middle 16 tokens of docs 0-9 — stand-ins
+    for eval questions that leaked from the corpus), so the op
+    demonstrably fires: each source doc must flag against its own
+    benchmark item with all 9 window 8-grams shared.
+
+    Scale shape: the benchmark side is small by definition (an eval
+    suite) → broadcast; the corpus side is one scan + explode of
+    distinct-gram hashes; the hit count is an integer aggregate —
+    no floats anywhere."""
+    docs = _docs(spark, sf)
+    toks = dedup.tokens_col(F.col("text"))
+    start = F.greatest(
+        F.lit(1),
+        (F.floor(F.size(toks) / 2) - (CONTAM_WINDOW_TOKENS // 2 - 1)).cast("int"),
+    )
+    mid = F.concat_ws(" ", F.slice(toks, start, CONTAM_WINDOW_TOKENS))
+    bench = docs.filter(F.col("doc_id") < N_BENCH_ITEMS).select(
+        F.col("doc_id").alias("bench_id"), mid.alias("btext")
+    )
+    bgrams = bench.select(
+        "bench_id",
+        F.explode(dedup.word_ngram_ints_col(F.col("btext"), CONTAM_N)).alias("h"),
+    )
+    cgrams = dedup.spread_to_parallelism(docs).select(
+        "doc_id",
+        F.explode(dedup.word_ngram_ints_col(F.col("text"), CONTAM_N)).alias("h"),
+    )
+    hits = (
+        cgrams.join(F.broadcast(bgrams), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+
+
+def _sql_benchmark_contamination() -> str:
+    toks = dedup.duckdb_tokens_sql("text")
+    start = (
+        f"greatest(1, CAST(floor(len({toks}) / 2) AS INTEGER) "
+        f"- {CONTAM_WINDOW_TOKENS // 2 - 1})"
+    )
+    mid = (
+        f"array_to_string(list_slice({toks}, {start}, "
+        f"{start} + {CONTAM_WINDOW_TOKENS - 1}), ' ')"
+    )
+    return f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, {mid} AS btext
+  FROM documents WHERE doc_id < {N_BENCH_ITEMS}
+),
+bgrams AS (
+  SELECT bench_id, unnest({dedup.duckdb_word_ngram_ints_sql('btext', CONTAM_N)}) AS h
+  FROM bench
+),
+cgrams AS (
+  SELECT doc_id, unnest({dedup.duckdb_word_ngram_ints_sql('text', CONTAM_N)}) AS h
+  FROM documents
+)
+SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+FROM cgrams c JOIN bgrams b USING (h)
+GROUP BY 1, 2 HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
+# --- intra-document repetition filters (Gopher-style) ------------------------
+# thresholds as integer cross-multiplications: frac > a/b ⟺ b*dups > a*total
+REP_TOKEN_NUM, REP_TOKEN_DEN = 1, 2  # duplicate-token fraction > 1/2
+REP_GRAM_NUM, REP_GRAM_DEN = 1, 20  # duplicate-3-gram fraction > 1/20
+
+
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source counts of repetition-heavy documents (duplicate
+    token / duplicate 3-gram fractions over thresholds) — the
+    MassiveText/Gopher-style intra-doc repetition filter. All
+    comparisons are integer cross-multiplications and all outputs are
+    counts: no float crosses the engine boundary."""
+    docs = _docs(spark, sf)
+    toks = dedup.tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    nd_tok = F.size(F.array_distinct(toks))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_tok - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    grams = F.when(n_tok >= 3, grams).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    nd_g = F.size(F.array_distinct(grams))
+    flags = docs.select(
+        "source",
+        (
+            F.lit(REP_TOKEN_DEN) * (n_tok - nd_tok)
+            > F.lit(REP_TOKEN_NUM) * n_tok
+        ).alias("tok_rep"),
+        (
+            (F.lit(REP_GRAM_DEN) * (n_g - nd_g) > F.lit(REP_GRAM_NUM) * n_g)
+            & (n_g > 0)
+        ).alias("gram_rep"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("tok_rep").cast("int")).alias("n_token_repetitive"),
+        F.sum(F.col("gram_rep").cast("int")).alias("n_gram_repetitive"),
+    )
+
+
+def _sql_repetition_stats() -> str:
+    toks = dedup.duckdb_tokens_sql("text")
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - 3, 0) + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    grams = f"(CASE WHEN len({toks}) >= 3 THEN {grams} ELSE [] END)"
+    return f"""
+WITH sized AS (
+  SELECT source,
+         len({toks}) AS n_tok,
+         len(list_distinct({toks})) AS nd_tok,
+         len({grams}) AS n_g,
+         len(list_distinct({grams})) AS nd_g
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN {REP_TOKEN_DEN} * (n_tok - nd_tok)
+                     > {REP_TOKEN_NUM} * n_tok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_token_repetitive,
+  CAST(sum(CASE WHEN {REP_GRAM_DEN} * (n_g - nd_g) > {REP_GRAM_NUM} * n_g
+                 AND n_g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gram_repetitive
+FROM sized GROUP BY source
+"""
+
+
+# --- deterministic stratified sampling (training-mix weighting) ---------------
+# per-lang keep rates in integer percent — mixture weighting a
+# pretraining pipeline applies before tokenization
+SAMPLE_RATES_PCT = {"en": 50, "de": 75, "es": 25, "fr": 100, "zh": 10}
+_SAMPLE_SPACE = 16**7  # md5_int_col(_, 7) range
+
+
+def q_stratified_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: doc kept iff
+    md5('sample|' || doc_id) < rate — reproducible across engines,
+    runs, and cluster sizes (no RNG state), the property a resumable
+    100 TB mixing job needs. Integer threshold compare
+    (u * 100 < pct * 16^7): no float boundary anywhere."""
+    docs = _docs(spark, sf)
+    u = dedup.md5_int_col(
+        F.concat(F.lit("sample|"), F.col("doc_id").cast("string")), 7
+    )
+    rate_pct = F.lit(None).cast("int")
+    expr = None
+    for lang, pct in SAMPLE_RATES_PCT.items():
+        cond = F.col("lang") == lang
+        expr = F.when(cond, pct) if expr is None else expr.when(cond, pct)
+    rate_pct = expr.otherwise(F.lit(0))
+    kept = (u * 100) < (rate_pct.cast("long") * _SAMPLE_SPACE)
+    return docs.select("lang", kept.alias("kept")).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).alias("n_sampled"),
+    )
+
+
+def _sql_stratified_sample_counts() -> str:
+    u = dedup.duckdb_md5_int_sql("'sample|' || CAST(doc_id AS VARCHAR)", 7)
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}"
+        for lang, pct in SAMPLE_RATES_PCT.items()
+    ) + " ELSE 0 END"
+    return f"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN {u} * 100 < CAST({rate} AS BIGINT) * {_SAMPLE_SPACE}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang
+"""
+
+
 QUALITY_MIN = 0.55
 TOKENS_MIN, TOKENS_MAX = 10, 2000
 
@@ -947,5 +1133,14 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "training_filter_pipeline": (
         q_training_filter_pipeline,
         _sql_training_filter_pipeline(),
+    ),
+    "benchmark_contamination": (
+        q_benchmark_contamination,
+        _sql_benchmark_contamination(),
+    ),
+    "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
+    "stratified_sample_counts": (
+        q_stratified_sample_counts,
+        _sql_stratified_sample_counts(),
     ),
 }

@@ -1,0 +1,117 @@
+"""Digital-text PDF codec: writer↔extractor roundtrips, escape and
+filter edge cases, malformed-input refusal, and kernel integration
+(the second real media decode path next to PNG)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from pero_ocr_api_spark.ocr import pdf
+from pero_ocr_api_spark.ocr.kernel import process_media
+
+
+def test_roundtrip_plain():
+    lines = ["hello world", "second line", "third"]
+    assert pdf.extract_text(pdf.encode_text_pdf(lines)) == lines
+
+
+def test_roundtrip_escapes_and_specials():
+    lines = [
+        r"parens (nested (deep)) and back\slash",
+        "tabs\tand percent % signs",
+        "",
+        "trailing",
+    ]
+    assert pdf.extract_text(pdf.encode_text_pdf(lines)) == lines
+
+
+def test_fixture_is_a_real_pdf():
+    """Writer output must be structurally valid: header, xref,
+    trailer, Flate stream that standard tooling could open."""
+    b = pdf.encode_text_pdf(["x"])
+    assert b.startswith(b"%PDF-1.4")
+    assert b.rstrip().endswith(b"%%EOF")
+    assert b"/FlateDecode" in b and b"xref" in b and b"/Root 1 0 R" in b
+
+
+def test_uncompressed_stream_and_tj_array():
+    """Hand-built content stream: TJ arrays (kerned show) concatenate,
+    T* breaks lines, ' shows on a new line, hex strings decode."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td [(Hel) -20 (lo)] TJ T* (world) Tj "
+        b"(next) ' <21> Tj ET"
+    )
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    assert pdf.extract_text(body) == ["Hello", "world", "next!"]
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"not a pdf at all",
+        b"%PDF-1.4 fake",  # no content stream (the corpus bad-kind doc)
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 5 >>\n"
+        b"stream\nAAAAA\nendstream\nendobj\n",  # bad zlib data
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length 2 >>\n"
+        b"stream\nAA\nendstream\nendobj\n",  # unsupported filter
+        b"%PDF-1.4\n/Encrypt << >>\n1 0 obj\n<< /Length 2 >>\n"
+        b"stream\nBT\nendstream\nendobj\n",  # encrypted
+    ],
+)
+def test_malformed_raises(data):
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(data)
+
+
+def test_kernel_pdf_processed():
+    lines = ["alpha", "beta gamma"]
+    res = process_media(pdf.encode_text_pdf(lines), "application/pdf", "m1")
+    assert res.state == "PROCESSED"
+    assert res.text == "alpha\nbeta gamma"
+    assert res.score == 1.0  # digital text: per-line confidence 1.0
+    assert res.n_lines == 2
+    assert "alpha" in res.alto_xml and "alpha" in res.page_xml
+    assert res.txt.splitlines() == lines
+
+
+def test_kernel_pdf_malformed_is_invalid_file():
+    res = process_media(b"%PDF-1.4 fake", "application/pdf", "m2")
+    assert res.state == "INVALID_FILE"
+    assert res.error
+
+
+def test_kernel_pdf_confidence_filter_keeps_digital_text():
+    """min_confidence 0.42 must not drop confidence-1.0 lines, and a
+    raised threshold above 1.0 drops them all (score falls back 1.0,
+    no-lines convention)."""
+    b = pdf.encode_text_pdf(["keep me"])
+    kept = process_media(b, "application/pdf", "m3")
+    assert kept.n_lines == 1
+    dropped = process_media(
+        b, "application/pdf", "m3", config={"min_confidence": 1.5}
+    )
+    assert dropped.state == "PROCESSED"
+    assert dropped.n_lines == 0 and dropped.text == ""
+
+
+def test_length_slicing_survives_endstream_in_data():
+    """A Flate stream whose bytes happen to contain 'endstream' must
+    still slice correctly via /Length."""
+    content = b"BT (ok) Tj ET " + b"endstream" + b" % noise"
+    comp = zlib.compress(content)
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(comp)).encode()
+        + b" >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    assert pdf.extract_text(body) == ["ok"]
