@@ -117,42 +117,51 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    # SPARK_GRAFT_QUERIES=0: skip the query suite + headline extract
+    # (dedicated scaling-evidence runs — retried until a clean host
+    # window lets the stability flags converge)
+    do_queries = os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0"
     scale_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
     scale_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
     extract_cores = int(os.environ.get("SPARK_GRAFT_EXTRACT_CORES", str(min(cpus, 8))))
 
-    from pero_ocr_api_spark.plans.queries import QUERIES
-
-    spark = _fresh_spark(cpus)
-
-    # JVM/regex warm-up so no timed query absorbs the one-time ~40 s
-    # codegen/JIT cost (first regexp/split expression per JVM): warm
-    # both the regexp_extract_all path (token stats) and the
-    # split+md5+conv shingle pipeline (minhash/simhash) on 50 docs
-    from pero_ocr_api_spark.operators.dedup import minhash_signatures, winnow_col
-    from pero_ocr_api_spark.sources.tables import read_table
-    from pyspark.sql import functions as F
-
-    warm_docs = read_table(spark, sf_dir, "documents").limit(50)
-    warm_docs.select(
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
-    ).count()
-    minhash_signatures(warm_docs).count()
-    warm_docs.select(F.size(winnow_col(F.col("text")))).count()
-
     query_secs: dict[str, float] = {}
-    for name in HEADLINE_QUERIES:
-        fn = QUERIES[name][0]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        query_secs[name] = round(time.monotonic() - t0, 3)
+    extract: dict = {}
+    if do_queries:
+        from pero_ocr_api_spark.plans.queries import QUERIES
 
-    spark = _fresh_spark(extract_cores)
-    extract = _run_extract_bench(spark, bench_docs)
+        spark = _fresh_spark(cpus)
+
+        # JVM/regex warm-up so no timed query absorbs the one-time
+        # ~40 s codegen/JIT cost (first regexp/split expression per
+        # JVM): warm both the regexp_extract_all path (token stats)
+        # and the split+md5+conv shingle pipeline on 50 docs
+        from pero_ocr_api_spark.operators.dedup import (
+            minhash_signatures,
+            winnow_col,
+        )
+        from pero_ocr_api_spark.sources.tables import read_table
+        from pyspark.sql import functions as F
+
+        warm_docs = read_table(spark, sf_dir, "documents").limit(50)
+        warm_docs.select(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
+        ).count()
+        minhash_signatures(warm_docs).count()
+        warm_docs.select(F.size(winnow_col(F.col("text")))).count()
+
+        for name in HEADLINE_QUERIES:
+            fn = QUERIES[name][0]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            query_secs[name] = round(time.monotonic() - t0, 3)
+
+        spark = _fresh_spark(extract_cores)
+        extract = _run_extract_bench(spark, bench_docs)
 
     result = {
         "metric": "e2e_extract_docs_per_sec",
-        "value": extract["docs_per_sec"],
+        "value": extract.get("docs_per_sec"),
         "unit": "docs/sec",
         "queries": query_secs,
         "sf": sf_dir,

@@ -1,0 +1,195 @@
+"""spark-submit entry point for the training-data curation pipeline.
+
+The batch composition a pretraining ingest runs over a crawled corpus,
+chaining the repo's curation operators in their canonical
+cheap-filter → exact-verify order:
+
+1. quality gate      — lang-ID agreement, quality score, token band
+                       (`training_filter_pipeline` predicates);
+2. repetition gate   — Gopher-style duplicate-token / duplicate-3-gram
+                       fractions (integer cross-multiplications);
+3. exact dedup       — md5 fingerprint, keep lowest doc_id;
+4. near dedup        — MinHash → banded LSH (skew-capped buckets) →
+                       n-gram Jaccard verify ≥ threshold, keep min id;
+5. mix sampling      — deterministic md5-hash stratified sampling by
+                       lang (reproducible across runs/cluster sizes).
+
+Outputs the kept doc_id list plus a one-line JSON funnel report with
+per-stage counts AND the LSH skew diagnostics (how many buckets the
+`MAX_BUCKET` star-cap collapsed, largest bucket seen) — the metric a
+100 TB run must surface, since a silently-capped mega-bucket is the
+difference between "covered everything" and "truncated the web's
+boilerplate cluster".
+
+    spark-submit --py-files dist/pero_ocr_api_spark.zip \\
+        jobs/curate_job.py \\
+        --documents s3://bucket/documents --output s3://bucket/kept_ids
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--documents", required=True, help="documents table path")
+    p.add_argument("--output", required=True, help="kept doc_id table path")
+    p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument("--no-sampling", action="store_true")
+    p.add_argument("--cores", type=int, default=None, help="local mode only")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from pero_ocr_api_spark.session import get_spark
+
+        spark = get_spark(app_name="curate_job", cores=args.cores)
+
+    from pero_ocr_api_spark.functions import text_stats as ts
+    from pero_ocr_api_spark.operators import dedup
+    from pero_ocr_api_spark.plans.queries_textops import (
+        QUALITY_MIN,
+        REP_GRAM_DEN,
+        REP_GRAM_NUM,
+        REP_TOKEN_DEN,
+        REP_TOKEN_NUM,
+        SAMPLE_RATES_PCT,
+        TOKENS_MAX,
+        TOKENS_MIN,
+        _SAMPLE_SPACE,
+    )
+
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang", "source"
+    )
+    n_input = docs.count()
+
+    # -- 1+2: per-doc gates, one scan ------------------------------------
+    t = F.col("text")
+    toks = dedup.tokens_col(t)
+    n_tok = F.size(toks)
+    nd_tok = F.size(F.array_distinct(toks))
+    grams = F.when(
+        n_tok >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_tok - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g, nd_g = F.size(grams), F.size(F.array_distinct(grams))
+    gated = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        (
+            (ts.lang_guess_col(t) == F.col("lang"))
+            & (ts.quality_score_col(t) >= QUALITY_MIN)
+            & ts.token_count_col(t).between(TOKENS_MIN, TOKENS_MAX)
+        ).alias("quality_ok"),
+        (
+            (F.lit(REP_TOKEN_DEN) * (n_tok - nd_tok) <= F.lit(REP_TOKEN_NUM) * n_tok)
+            & ((F.lit(REP_GRAM_DEN) * (n_g - nd_g) <= F.lit(REP_GRAM_NUM) * n_g) | (n_g == 0))
+        ).alias("repetition_ok"),
+    )
+    survivors = gated.filter(F.col("quality_ok") & F.col("repetition_ok")).select(
+        "doc_id", "text", "lang"
+    ).cache()
+    n_gated = survivors.count()
+
+    # -- 3: exact dedup (keep lowest doc_id per fingerprint) -------------
+    fp = survivors.select(
+        "doc_id", "lang", ts.fingerprint_col(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_kept = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    exact_docs = survivors.join(exact_kept.select("doc_id"), "doc_id")
+    n_exact = exact_docs.count()
+
+    # -- 4: LSH near-dup with skew diagnostics ---------------------------
+    sigs = dedup.minhash_signatures(exact_docs)
+    bands = dedup.lsh_bands_df(sigs).cache()
+    sizes = dedup.lsh_bucket_sizes(bands)
+    skew = sizes.agg(
+        F.max("bucket_n").alias("max_bucket_n"),
+        F.sum(
+            F.when(F.col("bucket_n") > dedup.MAX_BUCKET, 1).otherwise(0)
+        ).alias("n_capped_buckets"),
+    ).collect()[0]
+    pairs = dedup.lsh_candidate_pairs(bands)
+    sh = exact_docs.select(
+        "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
+    ).cache()
+    near_dups = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2"
+        )
+        .filter(dedup.jaccard_col(F.col("sh1"), F.col("sh2")) >= args.jaccard)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    deduped = exact_kept.join(near_dups, "doc_id", "left_anti")
+    n_deduped = deduped.count()
+
+    # -- 5: deterministic stratified mix sampling ------------------------
+    if args.no_sampling:
+        kept = deduped.select("doc_id")
+    else:
+        u = dedup.md5_int_col(
+            F.concat(F.lit("sample|"), F.col("doc_id").cast("string")), 7
+        )
+        rate = None
+        for lang, pct in SAMPLE_RATES_PCT.items():
+            cond = F.col("lang") == lang
+            rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+        rate = rate.otherwise(F.lit(0)).cast("long")
+        kept = deduped.filter((u * 100) < rate * _SAMPLE_SPACE).select("doc_id")
+    kept.write.mode("overwrite").parquet(args.output)
+    n_kept = spark.read.parquet(args.output).count()
+    survivors.unpersist()
+    bands.unpersist()
+    sh.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "funnel": {
+                    "input": n_input,
+                    "after_quality_and_repetition": n_gated,
+                    "after_exact_dedup": n_exact,
+                    "after_near_dedup": n_deduped,
+                    "kept": n_kept,
+                },
+                "lsh_skew": {
+                    "max_bucket_n": skew["max_bucket_n"],
+                    "n_capped_buckets": int(skew["n_capped_buckets"] or 0),
+                    "cap": dedup.MAX_BUCKET,
+                },
+                "wall_sec": round(time.monotonic() - t0, 2),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

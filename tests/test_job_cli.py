@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -157,3 +158,39 @@ def test_pyfiles_zip_importable(tmp_path):
     )
     assert probe.returncode == 0, probe.stderr
     assert probe.stdout.strip() == "NOT_FOUND"
+
+
+def test_curate_job_end_to_end(spark):
+    """Curation funnel CLI: monotone per-stage counts, skew metrics
+    surfaced, deterministic output across reruns."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import curate_job
+
+    d = tempfile.mkdtemp()
+    argv = [
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", f"{d}/kept",
+    ]
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = curate_job.main(argv)
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = report["funnel"]
+    assert (
+        f["input"]
+        >= f["after_quality_and_repetition"]
+        >= f["after_exact_dedup"]
+        >= f["after_near_dedup"]
+        >= f["kept"]
+    )
+    assert f["input"] == 500 and f["kept"] > 0
+    assert report["lsh_skew"]["cap"] == 64
+    kept1 = {r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()}
+    with redirect_stdout(_io.StringIO()):
+        assert curate_job.main(argv) == 0
+    kept2 = {r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()}
+    assert kept1 == kept2  # hash-based sampling: no RNG state anywhere
