@@ -191,48 +191,73 @@ def _stage_corpus(n_docs: int, path: str) -> None:
     media.write.mode("overwrite").parquet(f"{path}/media")
 
 
-def _measure_once(cores: int, path: str, run_id: str) -> float:
-    """Fresh session, staged corpus, warmed workers, one timed run.
+STEAL_TAINT = float(os.environ.get("SPARK_GRAFT_STEAL_TAINT", "0.05"))
 
-    Returns docs/sec."""
-    return _measure_block(cores, path, run_id, k=1)[0]
+
+def _steal_ticks() -> int | None:
+    """Hypervisor steal-time counter (aggregate cpu line, /proc/stat
+    field 8) — ticks this VM's vCPUs were runnable but descheduled by
+    the host. The direct, value-blind measurement of the host-steal
+    windows that plague this sandbox (observed: whole minutes at >50%
+    steal; near 0 when clean)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except Exception:  # pragma: no cover — non-Linux fallback
+        return None
+
+
+def _steal_frac(s0: int | None, s1: int | None, wall: float) -> float | None:
+    """Fraction of machine cycles stolen during [t0, t0+wall]."""
+    if s0 is None or s1 is None or wall <= 0:
+        return None
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    return (s1 - s0) / (wall * (os.cpu_count() or 1) * hz)
 
 
 def _measure_block(
     cores: int, path: str, run_id: str, k: int, best_so_far: float = 0.0
-) -> list[float]:
+) -> list[tuple[float, float | None]]:
     """Fresh session, staged corpus, warmed workers, k back-to-back
     timed runs (warm samples — a long-lived cluster's steady state).
+
+    Each sample is bracketed by /proc/stat steal-counter reads, so it
+    carries its own host-interference measurement: (docs/sec,
+    steal_frac). Samples with steal_frac > STEAL_TAINT are reported
+    but excluded from the *stability* decision — two samples that
+    agree inside a steal window must not certify a depressed ratio.
 
     Steal fail-fast: when a sample lands far below this arm's best so
     far, the VM is inside a host-steal window — the remaining runs of
     this block would sample the same window and waste budget that
-    later (possibly clean) blocks need, so the block ends early.
-
-    Returns docs/sec per run."""
-    from pero_ocr_api_spark.plans.extract import run_extract
+    later (possibly clean) blocks need, so the block ends early."""
+    from pero_ocr_api_spark.plans.extract import release_run, run_extract
 
     spark = _fresh_spark(cores)
     docs = spark.read.parquet(f"{path}/docs").cache()
     media = spark.read.parquet(f"{path}/media").cache()
     n = docs.count()
     media.count()
-    from pero_ocr_api_spark.plans.extract import release_run
-
     warm, _ = run_extract(spark, docs.limit(50), media, run_id=f"w{run_id}")
     warm.count()
     release_run(f"w{run_id}")
 
-    rates = []
+    out: list[tuple[float, float | None]] = []
+    rates: list[float] = []
     for i in range(k):
+        s0 = _steal_ticks()
         t0 = time.monotonic()
         extracted, _ = run_extract(spark, docs, media, run_id=f"{run_id}_{i}")
         extracted.count()
-        rates.append(n / (time.monotonic() - t0))
+        wall = time.monotonic() - t0
+        s1 = _steal_ticks()
+        rates.append(n / wall)
+        out.append((rates[-1], _steal_frac(s0, s1, wall)))
         release_run(f"{run_id}_{i}")
         if rates[-1] < 0.6 * max(best_so_far, *rates):
             break  # stolen window — stop sampling it
-    return rates
+    return out
 
 
 def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
@@ -245,10 +270,17 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
     clean_rate x slowdown, slowdown <= 1. The per-arm *maximum* over
     temporally-spread samples is therefore a consistent,
     pairing-luck-free estimator of each arm's clean rate; the headline
-    efficiency is max(hi)/max(lo)/(hi/lo). Medians and the full raw
-    samples are reported for dispersion/auditability, and
-    max_stable_lo/hi flag whether each arm's top two samples agree
-    within 10% (i.e. whether the max actually converged).
+    efficiency is best(hi)/best(lo)/(hi/lo). Medians and the full raw
+    samples are reported for dispersion/auditability.
+
+    Round-3 hardening: every sample is bracketed by /proc/stat
+    steal-counter reads, giving it a direct hypervisor-interference
+    measurement. "Stable" now means two samples whose OWN steal
+    fraction was <= STEAL_TAINT agree within 10% — agreement alone
+    proved insufficient (two samples inside one steal window agreed
+    at a 33%-depressed level and would have certified efficiency
+    0.65 for a ~0.85 engine). The taint test reads host counters,
+    never the measured ratio: still zero value-conditioned stopping.
 
     Sampling is organized as alternating per-arm *blocks* (one
     session, k warm back-to-back runs): session spin-up is paid once
@@ -276,24 +308,52 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1350"))
     _stage_corpus(scale_docs, staging)
 
-    def _stable(rates: list[float]) -> bool:
-        # per-arm max has converged on the clean-window ceiling when
-        # the two best samples agree within 10%
-        if len(rates) < 2:
+    def _rates(samples: list[tuple[float, float | None]]) -> list[float]:
+        return [r for r, _ in samples]
+
+    def _clean(samples: list[tuple[float, float | None]]) -> list[float]:
+        # samples whose own /proc/stat bracket shows the host stole
+        # <= STEAL_TAINT of machine cycles while they ran. If the
+        # counter is unavailable, every sample counts (old behavior).
+        if all(f is None for _, f in samples):
+            return _rates(samples)
+        return [r for r, f in samples if f is not None and f <= STEAL_TAINT]
+
+    def _stable(samples) -> bool:
+        # converged = the two best CLEAN samples agree within 10%.
+        # Clean-only on purpose: two stolen samples can agree within
+        # 10% at a depressed level (observed: hi arm "stable" at 335
+        # when its clean rate is ~500) — physical taint measurement,
+        # not agreement alone, is what makes the flag meaningful.
+        clean = _clean(samples)
+        if len(clean) < 2:
             return False
-        top = sorted(rates, reverse=True)[:2]
+        top = sorted(clean, reverse=True)[:2]
         return top[1] >= 0.9 * top[0]
+
+    def _best(samples) -> float:
+        clean = _clean(samples)
+        return max(clean) if clean else max(_rates(samples), default=0.0)
+
+    def _done_arm(samples) -> bool:
+        # value-blind stop test for one arm: enough temporally-spread
+        # samples AND two agreeing clean ones. Never looks at the
+        # ratio.
+        return len(samples) >= 3 and _stable(samples)
 
     factor = scale_hi / scale_lo
 
-    def _plausible(lo: list[float], hi: list[float]) -> bool:
+    def _plausible(lo, hi) -> bool:
         # physical bound: hi can't beat lo by more than the core
         # ratio, and hi can't be slower than lo — a violation means
-        # one arm's max is still a stolen-window sample
-        return bool(lo) and bool(hi) and 1.0 <= max(hi) / max(lo) <= factor
+        # one arm's best is still a stolen-window sample
+        return (
+            bool(lo) and bool(hi) and 1.0 <= _best(hi) / _best(lo) <= factor
+        )
 
     t_start = time.monotonic()
-    lo_rates, hi_rates = [], []
+    lo_s: list[tuple[float, float | None]] = []
+    hi_s: list[tuple[float, float | None]] = []
     blocks_run = 0
     for b in range(max_blocks):
         if b >= 1 and time.monotonic() - t_start > budget_s:
@@ -302,33 +362,41 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         # rate is still unmeasured — super-linear ratio means the lo
         # arm only sampled stolen windows, sub-1x means the hi arm did
         need_lo = need_hi = True
-        if lo_rates and hi_rates:
-            ratio = max(hi_rates) / max(lo_rates)
-            if ratio > 0.92 * factor:
-                # at/near super-linear: the lo arm almost certainly
-                # hasn't sampled a clean window yet — its max can only
-                # rise, walking the estimate toward truth from above
+        if lo_s and hi_s:
+            ratio = _best(hi_s) / _best(lo_s)
+            if ratio > factor:
+                # physically impossible (super-linear): the lo arm's
+                # best is still an interference sample — its max can
+                # only rise, walking the estimate toward truth from
+                # above. (Only the HARD bound forces lo-only now: with
+                # steal-bracketed samples a merely-high-but-physical
+                # ratio is legitimate evidence, and the old 0.92x
+                # suspicion band deadlocked — it starved the hi arm of
+                # the second clean sample stability needs.)
                 need_hi = False
             elif ratio < 1.0:
                 need_lo = False
-            elif _stable(lo_rates) and not _stable(hi_rates):
+            elif _done_arm(lo_s) and not _done_arm(hi_s):
                 need_lo = False
-            elif _stable(hi_rates) and not _stable(lo_rates):
+            elif _done_arm(hi_s) and not _done_arm(lo_s):
                 need_hi = False
         if need_lo:
-            k = runs_per_block if len(lo_rates) < 2 else 1
-            lo_rates += _measure_block(
-                scale_lo, staging, f"lo{b}", k, max(lo_rates, default=0.0)
+            k = runs_per_block if len(lo_s) < 2 else 1
+            lo_s += _measure_block(
+                scale_lo, staging, f"lo{b}", k,
+                max(_rates(lo_s), default=0.0),
             )
         if need_hi:
-            k = runs_per_block if len(hi_rates) < 2 else 1
-            hi_rates += _measure_block(
-                scale_hi, staging, f"hi{b}", k, max(hi_rates, default=0.0)
+            k = runs_per_block if len(hi_s) < 2 else 1
+            hi_s += _measure_block(
+                scale_hi, staging, f"hi{b}", k,
+                max(_rates(hi_s), default=0.0),
             )
         blocks_run = b + 1
         print(
-            f"[scaling] block {b}: lo={[round(x,1) for x in lo_rates]} "
-            f"hi={[round(x,1) for x in hi_rates]} "
+            f"[scaling] block {b}: "
+            f"lo={[(round(r, 1), None if f is None else round(f, 3)) for r, f in lo_s]} "
+            f"hi={[(round(r, 1), None if f is None else round(f, 3)) for r, f in hi_s]} "
             f"({time.monotonic() - t_start:.0f}s)",
             file=sys.stderr,
             flush=True,
@@ -336,34 +404,39 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         # Stop on STABILITY AND PHYSICS ONLY — never on where the
         # efficiency value lands. (Round 2 stopped early only inside
         # a 0.8-0.97x "credible band" — optional stopping conditioned
-        # on the answer; removed per review.) Stability = each arm's
-        # top-2 samples agree within 10%; physics = the max-ratio is
-        # inside [1, cores-ratio]. A >=3-samples-per-arm floor guards
-        # the "two samples from the same steal window agree" case;
-        # under the max estimator extra samples can only raise an
-        # arm's max, never bias it, so sampling longer is always safe.
+        # on the answer; removed per review.) Stability = two CLEAN
+        # (steal-bracket-verified) samples per arm agree within 10%;
+        # physics = the best-ratio is inside [1, cores-ratio]. Under
+        # the max estimator extra samples can only raise an arm's
+        # best, never bias it, so sampling longer is always safe.
         if (
             b + 1 >= 2
-            and len(lo_rates) >= 3
-            and len(hi_rates) >= 3
-            and _stable(lo_rates)
-            and _stable(hi_rates)
-            and _plausible(lo_rates, hi_rates)
+            and _done_arm(lo_s)
+            and _done_arm(hi_s)
+            and _plausible(lo_s, hi_s)
         ):
             break
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
-    speedup_clean = max(hi_rates) / max(lo_rates)
+    speedup_clean = _best(hi_s) / _best(lo_s)
+    lo_rates, hi_rates = _rates(lo_s), _rates(hi_s)
     return {
         "cores_lo": scale_lo,
         "cores_hi": scale_hi,
         "docs": scale_docs,
         "blocks": blocks_run,
-        "docs_per_sec_lo": round(max(lo_rates), 2),
-        "docs_per_sec_hi": round(max(hi_rates), 2),
+        "steal_taint_threshold": STEAL_TAINT,
+        "docs_per_sec_lo": round(_best(lo_s), 2),
+        "docs_per_sec_hi": round(_best(hi_s), 2),
         "samples_lo": [round(x, 1) for x in lo_rates],
         "samples_hi": [round(x, 1) for x in hi_rates],
+        # per-sample hypervisor steal fraction (/proc/stat bracket) —
+        # the value-blind taint measurement behind the flags
+        "steal_lo": [None if f is None else round(f, 3) for _, f in lo_s],
+        "steal_hi": [None if f is None else round(f, 3) for _, f in hi_s],
+        "clean_lo": len(_clean(lo_s)),
+        "clean_hi": len(_clean(hi_s)),
         "median_lo": round(statistics.median(lo_rates), 1),
         "median_hi": round(statistics.median(hi_rates), 1),
         "speedup": round(speedup_clean, 3),
@@ -371,12 +444,12 @@ def _scaling_pass(scale_lo: int, scale_hi: int, n_docs: int) -> dict:
         "efficiency_median": round(
             statistics.median(hi_rates) / statistics.median(lo_rates) / factor, 3
         ),
-        "max_stable_lo": _stable(lo_rates),
-        "max_stable_hi": _stable(hi_rates),
-        # False = one arm never measured a clean window (max-ratio
+        "max_stable_lo": _stable(lo_s),
+        "max_stable_hi": _stable(hi_s),
+        # False = one arm never measured a clean window (best-ratio
         # outside the physical [1, cores-ratio] band) — the efficiency
         # above is then a steal artifact, not a measurement
-        "plausible": _plausible(lo_rates, hi_rates),
+        "plausible": _plausible(lo_s, hi_s),
     }
 
 
