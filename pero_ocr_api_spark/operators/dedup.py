@@ -392,6 +392,48 @@ def winnow_col(text: Column, w: int = WINNOW_W) -> Column:
     )
 
 
+def winnow_from_hashes_col(h: Column, w: int = WINNOW_W) -> Column:
+    """Winnow fingerprint set over a *materialized* gram-hash array
+    column. Prefer this + :func:`winnow_fingerprints` over
+    :func:`winnow_col` on heavy paths: the one-shot Column form
+    references its gram pipeline from four places, and CollapseProject
+    inlines the whole md5 pipeline into each — a codegen method so
+    large that Janino compilation dominates (measured ~13 s for an
+    80-doc query; two-step ~5 s)."""
+    n = F.size(h)
+    mins = F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda i: F.array_min(F.slice(h, i + 1, w)),
+    )
+    return F.array_distinct(
+        F.when(n >= w, mins).otherwise(F.array(F.array_min(h)))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = WINNOW_W,
+    cache: bool = True,
+) -> DataFrame:
+    """(id, fp) winnowing fingerprints, computed in two projections
+    with a materialization boundary between them so the gram-hash
+    pipeline is evaluated once per row and compiled once per stage
+    (see :func:`winnow_from_hashes_col`). ``cache=True`` keeps the
+    intermediate gram arrays in memory — callers on unbounded corpora
+    should pass False and let the exchange/scan boundary split the
+    stages instead."""
+    hashes = df.select(
+        F.col(id_col), ordered_gram_ints_col(F.col(text_col)).alias("_h")
+    )
+    if cache:
+        hashes = hashes.cache()
+    return hashes.select(
+        F.col(id_col), winnow_from_hashes_col(F.col("_h"), w).alias("fp")
+    )
+
+
 def duckdb_winnow_sql(expr: str, w: int = WINNOW_W) -> str:
     toks = duckdb_tokens_sql(expr)
     grams = (

@@ -407,8 +407,16 @@ def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     MOSS-style overlap detection; a suffix mutation must still share
     most fingerprints with its original."""
     all_docs = _with_dups(_docs(spark, sf))
-    fp = all_docs.select(
-        "doc_id", dedup.winnow_col(F.col("text")).alias("fp")
+    # Two-step winnowing with a materialization boundary: the one-shot
+    # winnow_col expression inlines its md5-gram pipeline four times
+    # and its Janino compile dominated this query (12-13 s at sf0.1
+    # for 80 docs → ~5 s with the split; see
+    # dedup.winnow_fingerprints). Bounded working set: only the
+    # constructed twin pairs, never the corpus.
+    fp = dedup.winnow_fingerprints(
+        all_docs.filter(
+            (F.col("doc_id") < N_DUP_DOCS) | (F.col("doc_id") >= DUP_OFFSET)
+        )
     )
     pairs = (
         fp.filter(F.col("doc_id") < N_DUP_DOCS)
