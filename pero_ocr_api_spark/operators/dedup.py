@@ -416,6 +416,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     w: int = WINNOW_W,
     cache: bool = True,
+    tracker: list | None = None,
 ) -> DataFrame:
     """(id, fp) winnowing fingerprints, computed in two projections
     with a materialization boundary between them so the gram-hash
@@ -423,12 +424,15 @@ def winnow_fingerprints(
     (see :func:`winnow_from_hashes_col`). ``cache=True`` keeps the
     intermediate gram arrays in memory — callers on unbounded corpora
     should pass False and let the exchange/scan boundary split the
-    stages instead."""
+    stages instead. ``tracker`` (a list) receives the cached
+    intermediate so the caller can unpersist it later."""
     hashes = df.select(
         F.col(id_col), ordered_gram_ints_col(F.col(text_col)).alias("_h")
     )
     if cache:
         hashes = hashes.cache()
+        if tracker is not None:
+            tracker.append(hashes)
     return hashes.select(
         F.col(id_col), winnow_from_hashes_col(F.col("_h"), w).alias("fp")
     )

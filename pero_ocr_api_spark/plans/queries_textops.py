@@ -25,6 +25,37 @@ DUP_OFFSET = 1_000_000
 N_DUP_DOCS = 40  # doc_id < 40 get a mutated twin
 MUTATION_SUFFIX = " near duplicate suffix"
 
+# Cache hygiene (mirrors plans.extract's release_run): several queries
+# cache an intermediate (LSH bands before their self-join, shingle
+# sets verified twice, winnow gram arrays). Entries are bounded per
+# query and deduplicated by plan in Spark's CacheManager, but a
+# long-lived session that runs many queries should call
+# release_query_caches() between batches to keep storage flat.
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def _tracked_cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _QUERY_CACHES.append(df)
+    return df
+
+
+def release_query_caches() -> None:
+    """Unpersist every cache created by the queries in this module
+    (including the shared mega-bucket bands)."""
+    for df in _QUERY_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _QUERY_CACHES.clear()
+    for df in _MEGA_BANDS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _MEGA_BANDS_CACHE.clear()
+
 HTML_PRE = (
     "<html><head><script>var t=1;</script></head><body>"
     "<nav>Home | <a href='/a'>About</a></nav><p>"
@@ -172,7 +203,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     all_docs = _with_dups(_docs(spark, sf))
     sigs = dedup.minhash_signatures(all_docs)
     # cached: the candidate join is a self-join of this DF
-    bands = dedup.lsh_bands_df(sigs).cache()
+    bands = _tracked_cache(dedup.lsh_bands_df(sigs))
     return dedup.lsh_candidate_pairs(bands)
 
 
@@ -416,7 +447,8 @@ def q_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     fp = dedup.winnow_fingerprints(
         all_docs.filter(
             (F.col("doc_id") < N_DUP_DOCS) | (F.col("doc_id") >= DUP_OFFSET)
-        )
+        ),
+        tracker=_QUERY_CACHES,
     )
     pairs = (
         fp.filter(F.col("doc_id") < N_DUP_DOCS)
@@ -840,11 +872,11 @@ def q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
     # both so the shingle/md5 pipeline runs once, not once per branch.
     survivors = all_docs.join(exact_kept.select("doc_id"), "doc_id")
     sigs = dedup.minhash_signatures(survivors)
-    bands = dedup.lsh_bands_df(sigs).cache()
+    bands = _tracked_cache(dedup.lsh_bands_df(sigs))
     pairs = dedup.lsh_candidate_pairs(bands)
-    sh = survivors.select(
-        "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
-    ).cache()
+    sh = _tracked_cache(
+        survivors.select("doc_id", dedup.shingles_col(F.col("text")).alias("sh"))
+    )
     verified = (
         pairs.join(sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1")
         .join(sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2")

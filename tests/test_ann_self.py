@@ -175,3 +175,25 @@ def test_trained_ivf_recall_floor_on_clustered_corpus(spark, clustered_corpus):
         for r in similarity.ivf_topk(clustered_corpus, qids, k, DIM).collect()
     }
     assert len(trained & exact) / len(exact) >= 0.5
+
+
+def test_release_query_caches(spark):
+    """Query-level caches (LSH bands, winnow intermediates, mega
+    bands) must all free via release_query_caches — the query-module
+    analog of plans.extract.release_run."""
+    from pero_ocr_api_spark.plans import queries_textops as qt
+
+    jsc = spark.sparkContext._jsc
+    qt.release_query_caches()  # from any earlier test in this session
+
+    def n_persisted():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    sf_small = "/root/testdata/sf0.001"
+    qt.q_minhash_lsh_pairs(spark, sf_small).count()
+    qt.q_winnow_overlap(spark, sf_small).count()
+    qt.q_lsh_mega_bucket_pairs(spark, sf_small).count()
+    assert n_persisted() > base  # the caches exist while queries run
+    qt.release_query_caches()
+    assert n_persisted() == base
