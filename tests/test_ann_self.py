@@ -180,20 +180,19 @@ def test_trained_ivf_recall_floor_on_clustered_corpus(spark, clustered_corpus):
 def test_release_query_caches(spark):
     """Query-level caches (LSH bands, winnow intermediates, mega
     bands) must all free via release_query_caches — the query-module
-    analog of plans.extract.release_run."""
+    analog of plans.extract.release_run. Asserted on the tracked
+    DataFrames' own storage levels (a global getPersistentRDDs count
+    is noisy: unrelated localCheckpoint RDDs unpersist on GC)."""
     from pero_ocr_api_spark.plans import queries_textops as qt
 
-    jsc = spark.sparkContext._jsc
     qt.release_query_caches()  # from any earlier test in this session
-
-    def n_persisted():
-        return jsc.getPersistentRDDs().size()
-
-    base = n_persisted()
     sf_small = "/root/testdata/sf0.001"
     qt.q_minhash_lsh_pairs(spark, sf_small).count()
     qt.q_winnow_overlap(spark, sf_small).count()
     qt.q_lsh_mega_bucket_pairs(spark, sf_small).count()
-    assert n_persisted() > base  # the caches exist while queries run
+    tracked = list(qt._QUERY_CACHES) + list(qt._MEGA_BANDS_CACHE.values())
+    assert len(tracked) >= 3
+    assert any(df.storageLevel.useMemory for df in tracked)
     qt.release_query_caches()
-    assert n_persisted() == base
+    assert not qt._QUERY_CACHES and not qt._MEGA_BANDS_CACHE
+    assert all(not df.storageLevel.useMemory for df in tracked)
