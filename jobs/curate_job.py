@@ -160,7 +160,9 @@ def main(argv=None) -> int:
         for lang, pct in SAMPLE_RATES_PCT.items():
             cond = F.col("lang") == lang
             rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
-        rate = rate.otherwise(F.lit(0)).cast("long")
+        # unlisted langs keep everything (100%): a generic ingest job
+        # must never silently drop a language the mix table forgot
+        rate = rate.otherwise(F.lit(100)).cast("long")
         kept = deduped.filter((u * 100) < rate * _SAMPLE_SPACE).select("doc_id")
     kept.write.mode("overwrite").parquet(args.output)
     n_kept = spark.read.parquet(args.output).count()

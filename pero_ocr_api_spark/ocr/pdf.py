@@ -98,21 +98,30 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 def _raw_streams(data: bytes) -> list[tuple[bytes, bytes]]:
     """(dict text, stream bytes) for every stream object. Stream bytes
     are sliced by /Length when it is a literal integer (robust against
-    'endstream' inside binary data), else by the next 'endstream'."""
+    'endstream' inside binary data), else by the next 'endstream'.
+
+    EOL stripping is applied ONLY when the boundary was found by
+    scanning for 'endstream' — there the trailing \\r\\n belongs to the
+    surrounding markup. A /Length-verified slice is exact and is
+    returned unmodified: a compressed payload may legitimately end in
+    0x0A/0x0D, and stripping it would corrupt ~1.5% of Flate streams."""
     out = []
     for m in _STREAM_RE.finditer(data):
         d = m.group(1)
         start = m.end()
+        exact = False
         lm = _LENGTH_RE.search(d)
         if lm:
             end = start + int(lm.group(1))
-            if data[end : end + 32].lstrip()[:9] != b"endstream":
+            exact = data[end : end + 32].lstrip()[:9] == b"endstream"
+            if not exact:
                 end = data.find(b"endstream", start)
         else:
             end = data.find(b"endstream", start)
         if end < 0:
             raise PdfError("unterminated stream")
-        out.append((d, data[start:end].rstrip(b"\r\n")))
+        raw = data[start:end]
+        out.append((d, raw if exact else raw.rstrip(b"\r\n")))
     return out
 
 
@@ -149,9 +158,9 @@ def _read_string(s: str, i: int) -> tuple[str, int]:
             elif e in "()\\":
                 out.append(e)
                 i += 1
-            elif e.isdigit():
+            elif e in "01234567":
                 oct_digits = ""
-                while i < n and s[i].isdigit() and len(oct_digits) < 3:
+                while i < n and s[i] in "01234567" and len(oct_digits) < 3:
                     oct_digits += s[i]
                     i += 1
                 out.append(chr(int(oct_digits, 8) & 0xFF))
@@ -274,11 +283,33 @@ def _text_from_content(content: str, lines: list[str]) -> None:
     newline()
 
 
+def _encrypted(data: bytes) -> bool:
+    """/Encrypt declared where the spec puts it: in the trailer
+    dictionary (classic files) or the xref-stream dictionary (1.5+
+    files). A whole-file substring scan would false-positive on valid
+    PDFs whose *content* contains the text '/Encrypt'; when neither
+    region exists the file has no xref at all (hand-built subset
+    bodies) and the conservative whole-file scan applies."""
+    t = data.rfind(b"trailer")
+    if t >= 0:
+        return b"/Encrypt" in data[t:]
+    xm = None
+    for xm in re.finditer(rb"/Type\s*/XRef\b", data):
+        pass
+    if xm is not None:
+        # the xref-stream dict: from the enclosing 'obj' keyword to
+        # the 'stream' keyword that opens its data
+        o = data.rfind(b"obj", 0, xm.start())
+        s = data.find(b"stream", xm.end())
+        return b"/Encrypt" in data[max(o, 0) : s if s >= 0 else len(data)]
+    return b"/Encrypt" in data
+
+
 def extract_text(data: bytes) -> list[str]:
     """Text lines of a digital-text PDF, reading order (subset above)."""
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (missing %PDF- header)")
-    if b"/Encrypt" in data:
+    if _encrypted(data):
         raise PdfError("encrypted PDF unsupported")
     lines: list[str] = []
     saw_content = False

@@ -274,7 +274,15 @@ def _mega_bands(spark: SparkSession, sf: str) -> DataFrame:
         all_docs = _with_mega(spark, _docs(spark, sf))
         sigs = dedup.minhash_signatures(all_docs)
         bands = dedup.lsh_bands_df(sigs).cache()
-        _MEGA_BANDS_CACHE.clear()  # one live session: drop stale keys
+        # one live session: drop stale keys, releasing their executor
+        # storage (a bare clear() would leak the evicted DF's cache
+        # blocks until GC when the session switches sf dirs)
+        for old in _MEGA_BANDS_CACHE.values():
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _MEGA_BANDS_CACHE.clear()
         _MEGA_BANDS_CACHE[key] = bands
     return bands
 

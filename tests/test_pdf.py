@@ -115,3 +115,67 @@ def test_length_slicing_survives_endstream_in_data():
         + b"\nendstream\nendobj\n"
     )
     assert pdf.extract_text(body) == ["ok"]
+
+
+def test_length_verified_slice_never_stripped():
+    """ADVICE r3 (high): a Flate payload that legitimately ends in
+    0x0A/0x0D must survive a /Length-verified slice unmodified —
+    rstrip there corrupted ~1.5% of valid writer outputs."""
+    # sweep line sets so some compressed payloads end in \n or \r
+    # (the reported reproducer ['line one 11','second'] is in range)
+    for i in range(200):
+        lines = [f"line one {i}", "second"]
+        assert pdf.extract_text(pdf.encode_text_pdf(lines)) == lines
+
+
+def test_tail_byte_flate_roundtrip_exact():
+    """Directly construct a Flate stream ending in 0x0A and verify the
+    /Length slice returns it intact."""
+    content = None
+    for i in range(5000):
+        c = zlib.compress(f"BT (payload {i}) Tj ET".encode(), 9)
+        if c.endswith(b"\n") or c.endswith(b"\r"):
+            content = (i, c)
+            break
+    assert content is not None, "no trailing-EOL compressed payload found"
+    i, comp = content
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(comp)).encode()
+        + b" >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n"
+    )
+    assert pdf.extract_text(body) == [f"payload {i}"]
+
+
+def test_backslash_non_octal_digit_emits_char():
+    """Spec: backslash before a non-octal digit drops the backslash and
+    keeps the character — it must not raise (ADVICE r3)."""
+    content = rb"BT (a\800 b\9) Tj ET"
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    assert pdf.extract_text(body) == ["a800 b9"]
+
+
+def test_encrypt_in_content_text_is_not_encryption():
+    """'/Encrypt' appearing inside a content stream's text must not
+    reject the file — only the trailer/xref dict declares encryption
+    (ADVICE r3)."""
+    lines = ["the /Encrypt key is a PDF concept"]
+    assert pdf.extract_text(pdf.encode_text_pdf(lines)) == lines
+
+
+def test_encrypt_in_trailer_still_rejected():
+    b = bytearray(pdf.encode_text_pdf(["x"]))
+    t = bytes(b).rfind(b"trailer")
+    body = bytes(b[: t + len(b"trailer\n<< ")]) + b"/Encrypt 9 0 R " + bytes(
+        b[t + len(b"trailer\n<< ") :]
+    )
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(body)
