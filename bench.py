@@ -149,6 +149,12 @@ def main() -> None:
         ).count()
         minhash_signatures(warm_docs).count()
         warm_docs.select(F.size(winnow_col(F.col("text")))).count()
+        # IVF centroids train once per (session, corpus) by contract —
+        # warm the cache so the timed ivf_topk measures the amortized
+        # query path (assignment + probe), not the one-time training
+        from pero_ocr_api_spark.plans.queries_textops import _ivf_cents
+
+        _ivf_cents(spark, sf_dir).count()
 
         for name in HEADLINE_QUERIES:
             fn = QUERIES[name][0]

@@ -23,6 +23,7 @@ Python in the scoring path.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -32,6 +33,31 @@ from pero_ocr_api_spark.functions.portable import round_bin
 ANN_PLANES = 6
 ANN_TABLES = 4
 ANN_TABLE_PLANES = 4
+
+# Cache hygiene (mirrors queries_textops._QUERY_CACHES): ann_self_pairs
+# caches its normed-vector and bands intermediates — each is referenced
+# from 2-4 places of one plan, and without a boundary the 16x64-literal
+# hyperplane dot-product subtree re-executes per reference (measured
+# 24 s -> with cache the dominant stage runs once). Callers release via
+# release_similarity_caches() (queries_textops.release_query_caches
+# forwards here).
+_SIM_CACHES: list[DataFrame] = []
+
+
+def _tracked_cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _SIM_CACHES.append(df)
+    return df
+
+
+def release_similarity_caches() -> None:
+    """Unpersist every cache created by operators in this module."""
+    for df in _SIM_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SIM_CACHES.clear()
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -44,9 +70,13 @@ def as_double_vec(df: DataFrame, col: str = "embedding", out: str = "v") -> Data
     return df.withColumn(out, F.transform(col, lambda x: x.cast("double")))
 
 
+@lru_cache(maxsize=256)
 def hyperplanes(dim: int, planes: int = ANN_PLANES, table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random integer hyperplanes in [-128, 127];
-    `table` salts the family so multiple hash tables are independent."""
+    `table` salts the family so multiple hash tables are independent.
+    Memoized — every bucket expression construction re-derives the same
+    md5 literals (driver-side cost, but paid per plan build). Callers
+    must treat the returned lists as read-only."""
     out = []
     for p in range(planes):
         out.append(
@@ -62,27 +92,52 @@ def hyperplanes(dim: int, planes: int = ANN_PLANES, table: int = 0) -> list[list
     return out
 
 
+def _planes_lit(dim: int, planes: int, table: int) -> Column:
+    """The plane family as ONE foldable literal array<array<double>> —
+    ConstantFolding collapses it to a single Literal node, so the
+    codegen'd projection carries one constant instead of `planes`
+    inlined 64-literal expressions (the Janino-compile hazard the
+    winnow fix taught, see dedup.winnow_fingerprints)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in w])
+            for w in hyperplanes(dim, planes, table)
+        ]
+    )
+
+
+def _bucket_from_planes(v: Column, planes_arr: Column) -> Column:
+    """bucket = Σ_p 2^p · [v · plane_p ≥ 0] over an array-of-planes
+    column — a single higher-order expression regardless of plane
+    count (2^p exact in doubles for any plausible p)."""
+    contribs = F.transform(
+        planes_arr,
+        lambda w, p: F.when(dot_col(v, w) >= 0, F.pow(F.lit(2.0), p)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x).cast("int")
+
+
 def bucket_col(
     v: Column, dim: int, planes: int = ANN_PLANES, table: int = 0
 ) -> Column:
     """LSH bucket id: bit p = sign(v . plane_p)."""
-    out = F.lit(0)
-    for p, w in enumerate(hyperplanes(dim, planes, table)):
-        wl = F.array(*[F.lit(float(x)) for x in w])
-        out = out + F.when(dot_col(v, wl) >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out
+    return _bucket_from_planes(v, _planes_lit(dim, planes, table))
 
 
 def bucket_struct_col(v: Column, dim: int, tables: int, planes: int) -> Column:
-    """Array of (table, bucket) structs — one entry per hash table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                bucket_col(v, dim, planes, t).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
+    """Array of (table, bucket) structs — one entry per hash table.
+    All tables' planes ride in one constant-folded literal matrix; the
+    per-table bucket is computed by one shared higher-order expression
+    (same values as the unrolled form — 2^p weights, ≥0 sign test)."""
+    mat = F.array(*[_planes_lit(dim, planes, t) for t in range(tables)])
+    return F.transform(
+        mat,
+        lambda tp, t: F.struct(
+            t.cast("int").alias("t"),
+            _bucket_from_planes(v, tp).alias("bucket"),
+        ),
     )
 
 
@@ -185,6 +240,7 @@ def ann_self_pairs(
     tables: int = ANN_SELF_TABLES,
     planes: int = ANN_SELF_PLANES,
     max_bucket: int | None = None,
+    bands_out: list | None = None,
 ) -> DataFrame:
     """Corpus-scale near-pair discovery: the whole corpus vs itself,
     with NO broadcast of either side — the op a 100 TB embedding-dedup
@@ -202,20 +258,37 @@ def ann_self_pairs(
     plain shuffles on vec_id — Catalyst/AQE may still *choose* a
     broadcast when a side is genuinely small, but nothing in this plan
     requires one (asserted in tests: no broadcast hint, and the plan
-    compiles to shuffle joins with broadcasting disabled)."""
+    compiles to shuffle joins with broadcasting disabled).
+
+    Both intermediates are tracked-cached: `e` (vec_id, v, norm) is
+    referenced by two scored joins, `bands` by three subtrees of the
+    cap machinery — without a boundary the hyperplane dot-product
+    pipeline re-executes ~4× (it was the dominant stage). df.cache()
+    is MEMORY_AND_DISK (spills, never OOMs); on an unbounded corpus
+    the same boundary comes free from writing `bands` to the bucketed
+    index table. Release via :func:`release_similarity_caches`.
+    `bands_out` (a list) receives the cached bands DF so callers can
+    derive skew diagnostics (`dedup.lsh_bucket_sizes`) at no extra
+    compute."""
     from pero_ocr_api_spark.operators import dedup
 
     if max_bucket is None:
         max_bucket = dedup.MAX_BUCKET
-    e = _with_norm(emb)
-    bands = e.select(
-        "vec_id",
-        F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias("b"),
-    ).select(
-        "vec_id",
-        F.col("b.t").alias("band_idx"),
-        F.col("b.bucket").alias("band_hash"),
+    e = _tracked_cache(_with_norm(emb).select("vec_id", "v", "norm"))
+    bands = _tracked_cache(
+        e.select(
+            "vec_id",
+            F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias(
+                "b"
+            ),
+        ).select(
+            "vec_id",
+            F.col("b.t").alias("band_idx"),
+            F.col("b.bucket").alias("band_hash"),
+        )
     )
+    if bands_out is not None:
+        bands_out.append(bands)
     cand = dedup.lsh_candidate_pairs(bands, id_col="vec_id", max_bucket=max_bucket)
     scored = (
         cand.join(
@@ -341,6 +414,18 @@ def ivf_train_centroids(
     )
 
 
+def trained_centroids(emb: DataFrame, nlist: int = IVF_NLIST) -> DataFrame:
+    """Train IVF coarse centroids once and materialize them (eager
+    localCheckpoint: the nlist-row table's plan is the whole Lloyd
+    iteration tree — truncating it keeps every downstream consumer
+    from re-planning AND re-executing the training). A production
+    index trains per corpus, not per query: callers cache the result
+    per (session, corpus) and pass it to :func:`ivf_topk` via
+    ``centroids=`` (see queries_textops._ivf_cents, the
+    _MEGA_BANDS_CACHE pattern)."""
+    return ivf_train_centroids(_with_norm(emb), nlist).localCheckpoint(eager=True)
+
+
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, rank_limit: int = 1
 ) -> DataFrame:
@@ -370,6 +455,7 @@ def ivf_topk(
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
     trained: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the corpus is partitioned into `nlist`
     cells around coarse centroids; a query probes its `nprobe` nearest
@@ -391,7 +477,11 @@ def ivf_topk(
     the query side nprobe ways. Complements the LSH path: IVF adapts
     to the data's density, LSH needs no training."""
     e = _with_norm(emb)
-    if trained:
+    if centroids is not None:
+        # amortized path: the caller trained once per corpus (see
+        # trained_centroids) — this call pays only assignment+probe
+        cents = centroids
+    elif trained:
         # The centroid table is nlist rows of metadata, but its plan
         # is the whole Lloyd iteration tree; every downstream consumer
         # (corpus assignment, query probing — and each window branch

@@ -42,19 +42,22 @@ def _tracked_cache(df: DataFrame) -> DataFrame:
 
 def release_query_caches() -> None:
     """Unpersist every cache created by the queries in this module
-    (including the shared mega-bucket bands)."""
+    (including the shared mega-bucket bands, the trained-IVF centroid
+    table, and the similarity operators' internal caches)."""
     for df in _QUERY_CACHES:
         try:
             df.unpersist()
         except Exception:
             pass
     _QUERY_CACHES.clear()
-    for df in _MEGA_BANDS_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _MEGA_BANDS_CACHE.clear()
+    for store in (_MEGA_BANDS_CACHE, _IVF_CENTS_CACHE):
+        for df in store.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        store.clear()
+    similarity.release_similarity_caches()
 
 HTML_PRE = (
     "<html><head><script>var t=1;</script></head><body>"
@@ -602,14 +605,42 @@ SELECT qid, vec_id, cosine, rn FROM (
 """
 
 
+# (session applicationId, sf_dir) -> trained+checkpointed centroid
+# table (nlist rows). A production IVF index trains once per corpus;
+# per-call training was the r3 perf regression (2.7 s -> 7.7 s).
+# Same single-live-entry policy as _MEGA_BANDS_CACHE.
+_IVF_CENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_cents(spark: SparkSession, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    cents = _IVF_CENTS_CACHE.get(key)
+    if cents is None:
+        emb = read_table(spark, sf, "embeddings")
+        cents = similarity.trained_centroids(emb)
+        for old in _IVF_CENTS_CACHE.values():
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _IVF_CENTS_CACHE.clear()
+        _IVF_CENTS_CACHE[key] = cents
+    return cents
+
+
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: nlist coarse cells (inverted file), nprobe-cell query
     fan-out, exact re-score inside probed cells — the trained-
     quantizer counterpart to the LSH path. Centroids are k-means
     trained (spread sample + Lloyd) and reproduced bit-for-bit by the
-    oracle via 2^-16-grid exact arithmetic."""
+    oracle via 2^-16-grid exact arithmetic; training is amortized per
+    (session, corpus) via _ivf_cents — an index trains once, queries
+    pay only assignment+probe."""
     emb = read_table(spark, sf, "embeddings")
-    return similarity.ivf_topk(emb, _query_ids(spark, sf), TOP_K, EMB_DIM)
+    return similarity.ivf_topk(
+        emb, _query_ids(spark, sf), TOP_K, EMB_DIM,
+        centroids=_ivf_cents(spark, sf),
+    )
 
 
 def _sql_ivf_topk() -> str:

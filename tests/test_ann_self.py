@@ -190,9 +190,35 @@ def test_release_query_caches(spark):
     qt.q_minhash_lsh_pairs(spark, sf_small).count()
     qt.q_winnow_overlap(spark, sf_small).count()
     qt.q_lsh_mega_bucket_pairs(spark, sf_small).count()
-    tracked = list(qt._QUERY_CACHES) + list(qt._MEGA_BANDS_CACHE.values())
-    assert len(tracked) >= 3
+    qt.q_ann_self_near_pairs(spark, sf_small).count()  # similarity._SIM_CACHES
+    qt.q_ivf_topk(spark, sf_small).count()  # _IVF_CENTS_CACHE
+    tracked = (
+        list(qt._QUERY_CACHES)
+        + list(qt._MEGA_BANDS_CACHE.values())
+        + list(similarity._SIM_CACHES)
+    )
+    assert len(tracked) >= 5
+    assert len(similarity._SIM_CACHES) >= 2  # e + bands from ann_self_pairs
+    assert qt._IVF_CENTS_CACHE  # trained centroids memoized per corpus
     assert any(df.storageLevel.useMemory for df in tracked)
     qt.release_query_caches()
     assert not qt._QUERY_CACHES and not qt._MEGA_BANDS_CACHE
+    assert not similarity._SIM_CACHES and not qt._IVF_CENTS_CACHE
     assert all(not df.storageLevel.useMemory for df in tracked)
+
+
+def test_ivf_centroids_amortized_across_calls(spark):
+    """Per-call k-means training was the r3 perf regression: the
+    second q_ivf_topk call in a session must reuse the per-(session,
+    corpus) centroid table, not retrain (object identity of the cache
+    entry across calls)."""
+    from pero_ocr_api_spark.plans import queries_textops as qt
+
+    qt.release_query_caches()
+    sf_small = "/root/testdata/sf0.001"
+    qt.q_ivf_topk(spark, sf_small).count()
+    cents1 = list(qt._IVF_CENTS_CACHE.values())
+    qt.q_ivf_topk(spark, sf_small).count()
+    cents2 = list(qt._IVF_CENTS_CACHE.values())
+    assert len(cents1) == 1 and cents1[0] is cents2[0]
+    qt.release_query_caches()
