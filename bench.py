@@ -69,14 +69,23 @@ def _fresh_spark(cores: int):
     )
 
 
-def _run_extract_bench(spark, n_docs: int, runs: int = 5) -> dict:
+def _run_extract_bench(spark, n_docs: int, runs: int = 5, max_runs: int = 9) -> dict:
     """Generate corpus distributed, run the full pipeline warm.
 
     Corpus is cached + counted before timing; a 50-doc warm-up run
-    boots the python workers. All `runs` warm samples are reported
-    raw; the headline is the *median of 5* (stable round-over-round
-    under this VM's host-steal windows), with best-of also reported
-    (the clean-window rate — steal only ever slows a run)."""
+    boots the python workers. Headline = median of the CLEAN warm
+    samples, under the same steal-bracketing discipline the scaling
+    pass uses (round-3 verdict ask #4): every sample is bracketed by
+    /proc/stat steal-counter reads, samples whose own bracket shows
+    > STEAL_TAINT of machine cycles stolen are reported but excluded
+    from the estimate (host steal only ever *slows* a run — a
+    one-sided bias, so discarding tainted samples is consistent, never
+    flattering). Sampling continues past `runs` (up to `max_runs`)
+    until `runs` clean samples exist; if fewer than 3 clean samples
+    ever materialize the median falls back to all samples and
+    `clean_window` reports false. The decision to keep sampling reads
+    host counters only — never the measured rate (no value-conditioned
+    stopping)."""
     import statistics
 
     from pero_ocr_api_spark.corpus import generate_spark
@@ -90,17 +99,25 @@ def _run_extract_bench(spark, n_docs: int, runs: int = 5) -> dict:
     warm, _ = run_extract(spark, docs.limit(50), media, run_id="warmup")
     warm.count()
     release_run("warmup")
-    walls = []
+    samples: list[tuple[float, float | None]] = []  # (wall, steal_frac)
     out_rows = 0
-    for i in range(runs):
+    for i in range(max_runs):
+        s0 = _steal_ticks()
         t0 = time.monotonic()
         extracted, _ = run_extract(spark, docs, media, run_id=f"bench{i}")
         out_rows = extracted.count()
-        walls.append(time.monotonic() - t0)
+        wall = time.monotonic() - t0
+        samples.append((wall, _steal_frac(s0, _steal_ticks(), wall)))
         release_run(f"bench{i}")
+        n_clean = sum(1 for _, f in samples if f is None or f <= STEAL_TAINT)
+        if i + 1 >= runs and n_clean >= runs:
+            break
     docs.unpersist()
     media.unpersist()
-    med = statistics.median(walls)
+    walls = [w for w, _ in samples]
+    clean_walls = [w for w, f in samples if f is None or f <= STEAL_TAINT]
+    use = clean_walls if len(clean_walls) >= 3 else walls
+    med = statistics.median(use)
     return {
         "docs": n,
         "media_pages": n_media,
@@ -109,6 +126,11 @@ def _run_extract_bench(spark, n_docs: int, runs: int = 5) -> dict:
         "docs_per_sec": round(n / med, 2),
         "docs_per_sec_best": round(n / min(walls), 2),
         "samples_docs_per_sec": [round(n / w, 1) for w in walls],
+        # per-sample hypervisor steal fraction — the value-blind taint
+        # measurement behind the clean-window median
+        "steal": [None if f is None else round(f, 3) for _, f in samples],
+        "clean_samples": len(clean_walls),
+        "clean_window": len(clean_walls) >= 3,
     }
 
 

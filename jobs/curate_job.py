@@ -11,19 +11,30 @@ cheap-filter → exact-verify order:
 3. exact dedup       — md5 fingerprint, keep lowest doc_id;
 4. near dedup        — MinHash → banded LSH (skew-capped buckets) →
                        n-gram Jaccard verify ≥ threshold, keep min id;
+4b. embedding dedup  — (with --embeddings) corpus-scale ANN self-join
+                       (bucketed sign-LSH, clique→star cap, NO
+                       broadcast of either side): drop the higher id
+                       of every pair with cosine ≥ --cosine — the 5th
+                       dedup family, semantic near-dups that share no
+                       n-grams;
 5. mix sampling      — deterministic md5-hash stratified sampling by
-                       lang (reproducible across runs/cluster sizes).
+                       lang (reproducible across runs/cluster sizes;
+                       unlisted langs keep 100%).
 
 Outputs the kept doc_id list plus a one-line JSON funnel report with
 per-stage counts AND the LSH skew diagnostics (how many buckets the
-`MAX_BUCKET` star-cap collapsed, largest bucket seen) — the metric a
-100 TB run must surface, since a silently-capped mega-bucket is the
-difference between "covered everything" and "truncated the web's
-boilerplate cluster".
+`MAX_BUCKET` star-cap collapsed, largest bucket seen) — for both the
+text LSH and the embedding LSH — the metric a 100 TB run must
+surface, since a silently-capped mega-bucket is the difference
+between "covered everything" and "truncated the web's boilerplate
+cluster". --output-rows additionally writes the kept *rows*
+repartitioned by doc_id hash (the bucket(doc_id)-clustered,
+Iceberg-shaped handoff a downstream training-mix job reads).
 
     spark-submit --py-files dist/pero_ocr_api_spark.zip \\
         jobs/curate_job.py \\
-        --documents s3://bucket/documents --output s3://bucket/kept_ids
+        --documents s3://bucket/documents --output s3://bucket/kept_ids \\
+        --embeddings s3://bucket/embeddings
 """
 
 from __future__ import annotations
@@ -39,6 +50,22 @@ def parse_args(argv):
     p.add_argument("--documents", required=True, help="documents table path")
     p.add_argument("--output", required=True, help="kept doc_id table path")
     p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings table path (vec_id = doc_id); enables the "
+        "embedding near-dup stage",
+    )
+    p.add_argument(
+        "--cosine", type=float, default=0.999,
+        help="embedding near-dup cosine threshold",
+    )
+    p.add_argument(
+        "--output-rows",
+        default=None,
+        help="also write kept rows repartitioned by doc_id hash "
+        "(Iceberg-shaped handoff)",
+    )
     p.add_argument("--no-sampling", action="store_true")
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     return p.parse_args(argv)
@@ -149,6 +176,41 @@ def main(argv=None) -> int:
     deduped = exact_kept.join(near_dups, "doc_id", "left_anti")
     n_deduped = deduped.count()
 
+    # -- 4b: embedding near-dup (corpus-scale ANN self-join) -------------
+    emb_report = None
+    if args.embeddings:
+        from pero_ocr_api_spark.operators import similarity
+
+        emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+        # one-row metadata probe for the vector width (not a data path)
+        dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+        surv_emb = emb.join(
+            deduped.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        bands_holder: list = []
+        emb_pairs = similarity.ann_self_pairs(
+            surv_emb, args.cosine, dim, bands_out=bands_holder
+        )
+        emb_dups = emb_pairs.select(F.col("id2").alias("doc_id")).distinct()
+        deduped = deduped.join(emb_dups, "doc_id", "left_anti")
+        n_deduped_emb = deduped.count()
+        # same skew metrics as the text LSH: the bands are already
+        # cached by ann_self_pairs, so this is one cheap aggregate
+        eskew = dedup.lsh_bucket_sizes(bands_holder[0], id_col="vec_id").agg(
+            F.max("bucket_n").alias("max_bucket_n"),
+            F.sum(
+                F.when(F.col("bucket_n") > dedup.MAX_BUCKET, 1).otherwise(0)
+            ).alias("n_capped_buckets"),
+        ).collect()[0]
+        emb_report = {
+            "after_embedding_dedup": n_deduped_emb,
+            "skew": {
+                "max_bucket_n": eskew["max_bucket_n"],
+                "n_capped_buckets": int(eskew["n_capped_buckets"] or 0),
+                "cap": dedup.MAX_BUCKET,
+            },
+        }
+
     # -- 5: deterministic stratified mix sampling ------------------------
     if args.no_sampling:
         kept = deduped.select("doc_id")
@@ -166,25 +228,47 @@ def main(argv=None) -> int:
         kept = deduped.filter((u * 100) < rate * _SAMPLE_SPACE).select("doc_id")
     kept.write.mode("overwrite").parquet(args.output)
     n_kept = spark.read.parquet(args.output).count()
+    if args.output_rows:
+        # the bucket(doc_id)-shaped handoff: kept rows hash-clustered
+        # on the key downstream jobs join/merge on
+        (
+            docs.join(spark.read.parquet(args.output), "doc_id")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .write.mode("overwrite")
+            .parquet(args.output_rows)
+        )
     survivors.unpersist()
     bands.unpersist()
     sh.unpersist()
+    if args.embeddings:
+        from pero_ocr_api_spark.operators import similarity
+
+        similarity.release_similarity_caches()
+
+    funnel = {
+        "input": n_input,
+        "after_quality_and_repetition": n_gated,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_deduped,
+        "kept": n_kept,
+    }
+    if emb_report is not None:
+        funnel["after_embedding_dedup"] = emb_report["after_embedding_dedup"]
 
     print(
         json.dumps(
             {
-                "funnel": {
-                    "input": n_input,
-                    "after_quality_and_repetition": n_gated,
-                    "after_exact_dedup": n_exact,
-                    "after_near_dedup": n_deduped,
-                    "kept": n_kept,
-                },
+                "funnel": funnel,
                 "lsh_skew": {
                     "max_bucket_n": skew["max_bucket_n"],
                     "n_capped_buckets": int(skew["n_capped_buckets"] or 0),
                     "cap": dedup.MAX_BUCKET,
                 },
+                **(
+                    {"embedding_skew": emb_report["skew"]}
+                    if emb_report is not None
+                    else {}
+                ),
                 "wall_sec": round(time.monotonic() - t0, 2),
                 "output": args.output,
             }

@@ -194,3 +194,60 @@ def test_curate_job_end_to_end(spark):
         assert curate_job.main(argv) == 0
     kept2 = {r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()}
     assert kept1 == kept2  # hash-based sampling: no RNG state anywhere
+
+
+def test_curate_job_embedding_stage(spark):
+    """--embeddings enables the 5th dedup family end-to-end: a
+    constructed scaled-twin (cosine 1.0 with its original, no shared
+    n-grams required) must be dropped by the ANN self-join stage, the
+    funnel gains after_embedding_dedup, and the report carries the
+    embedding LSH skew block."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import curate_job
+
+    d = tempfile.mkdtemp()
+    base_argv = [
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", f"{d}/kept", "--no-sampling",
+    ]
+    # pass 1 (no embeddings): learn which ids survive the text funnel
+    with redirect_stdout(_io.StringIO()):
+        assert curate_job.main(base_argv) == 0
+    survivors = sorted(
+        r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()
+    )
+    assert len(survivors) >= 2
+    id_a, id_b = survivors[0], survivors[-1]
+
+    # synthetic embeddings: unique random directions (pairwise cosine
+    # far from 1) except id_b = scaled copy of id_a's vector
+    rng = np.random.default_rng(7)
+    vecs = {i: rng.normal(size=64).astype("float64") for i in range(500)}
+    vecs[id_b] = vecs[id_a] * 1.1
+    rows = [
+        (int(i), [float(x) for x in vecs[i]]) for i in sorted(vecs)
+    ]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb_df.write.mode("overwrite").parquet(f"{d}/emb")
+
+    argv = base_argv + ["--embeddings", f"{d}/emb",
+                        "--output-rows", f"{d}/kept_rows"]
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        assert curate_job.main(argv) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = report["funnel"]
+    assert f["after_embedding_dedup"] <= f["after_near_dedup"]
+    assert f["kept"] == f["after_embedding_dedup"]  # --no-sampling
+    assert report["embedding_skew"]["cap"] == 64
+    kept = {r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()}
+    assert id_a in kept and id_b not in kept  # keep-min-id connectivity
+    # Iceberg-shaped handoff: kept rows, same count, full row payload
+    rows_back = spark.read.parquet(f"{d}/kept_rows")
+    assert rows_back.count() == len(kept)
+    assert {"doc_id", "text", "lang"} <= set(rows_back.columns)
