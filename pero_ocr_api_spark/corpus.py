@@ -225,6 +225,38 @@ def doc_record(seed: int, idx: int) -> tuple[dict, list[dict]]:
                 "truth_text": "\n".join(pdf_lines),
             }
         )
+    if idx == 10:
+        # PDF 1.5 layout: dictionaries in an object stream, xref
+        # stream, classic Flate content object (ocr/pdf.py widened
+        # subset) — the layout modern PDF writers emit
+        ref = f"m{idx:09d}_pdf15"
+        pdf15_lines = ["objstm pdf line", "xref stream layout"]
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "application/pdf",
+                "media_bytes": pdf.encode_text_pdf_objstm(pdf15_lines),
+                "truth_text": "\n".join(pdf15_lines),
+            }
+        )
+    if idx == 11:
+        # [/ASCIIHexDecode /FlateDecode] cascade content stream
+        ref = f"m{idx:09d}_pdfhex"
+        hex_lines = ["ascii hex cascade", "second hex line"]
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "application/pdf",
+                "media_bytes": pdf.encode_text_pdf_hex(hex_lines, cascade=True),
+                "truth_text": "\n".join(hex_lines),
+            }
+        )
     # physical order shuffled; offset carries reading order (FIXTURES §1)
     order = rng.permutation(len(spans))
     spans = [spans[i] for i in order]

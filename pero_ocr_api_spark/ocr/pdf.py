@@ -9,22 +9,32 @@ confidence 1.0 per line.
 
 Supported subset (deliberately small, honestly bounded):
 
-* classic (non-objstm) PDF bodies: ``obj … stream … endstream``;
-* uncompressed and ``/FlateDecode`` content streams (zlib only — the
-  filter virtually all text PDFs use);
+* classic PDF bodies: ``obj … stream … endstream``;
+* PDF 1.5+ files whose document dictionaries live in object streams
+  (``/Type /ObjStm``) with a cross-reference stream (``/Type /XRef``)
+  instead of a classic table — the layout modern writers emit. The
+  spec forbids *streams* inside object streams, so page content
+  always stays a classic stream object; ObjStm bodies are decoded and
+  structurally validated (N/First header), XRef streams are
+  recognized and skipped;
+* uncompressed, ``/FlateDecode``, and ``/ASCIIHexDecode`` streams,
+  including filter cascades (``[/ASCIIHexDecode /FlateDecode]``)
+  applied in array order;
 * text operators ``BT/ET``, ``Tj``, ``TJ``, ``'``, ``"``, with line
   structure from ``Td``/``TD``/``T*``; literal strings with the full
   escape set (octal, nesting, line continuations) and hex strings.
 
-Anything outside the subset (encrypted files, object streams, exotic
-filters, CID font encodings) raises :class:`PdfError`, which the
-kernel maps to ``INVALID_FILE`` — one bad file never kills a task.
+Anything outside the subset (encrypted files, exotic filters, CID
+font encodings) raises :class:`PdfError`, which the kernel maps to
+``INVALID_FILE`` — one bad file never kills a task.
 
 :func:`encode_text_pdf` writes a valid single-page PDF 1.4 with a
 Flate-compressed content stream — used by the synthetic corpus so the
 extractor is exercised against independently-constructed bytes, and
 readable by any standard viewer (the fixture is a real PDF, not a
-private format).
+private format). :func:`encode_text_pdf_hex` (ASCIIHex, optionally
+cascaded with Flate) and :func:`encode_text_pdf_objstm` (PDF 1.5
+ObjStm + XRef stream) write the widened-subset fixtures.
 """
 
 from __future__ import annotations
@@ -51,16 +61,20 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def encode_text_pdf(lines: list[str]) -> bytes:
-    """One-page PDF 1.4 carrying `lines` as Helvetica text, content
-    stream Flate-compressed, valid xref — deterministic bytes."""
+def _content_ops(lines: list[str]) -> bytes:
     ops = [f"BT /F1 {_FONT_SIZE} Tf {_MARGIN} {PAGE_H - _MARGIN} Td"]
     for i, line in enumerate(lines):
         if i:
             ops.append(f"0 -{_LEADING} Td")
         ops.append(f"({_escape(line)}) Tj")
     ops.append("ET")
-    content = zlib.compress(" ".join(ops).encode("latin-1"), 9)
+    return " ".join(ops).encode("latin-1")
+
+
+def encode_text_pdf(lines: list[str]) -> bytes:
+    """One-page PDF 1.4 carrying `lines` as Helvetica text, content
+    stream Flate-compressed, valid xref — deterministic bytes."""
+    content = zlib.compress(_content_ops(lines), 9)
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -86,6 +100,126 @@ def encode_text_pdf(lines: list[str]) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_at)
     )
+    return bytes(out)
+
+
+def _hexlify(data: bytes, width: int = 64) -> bytes:
+    hx = data.hex().encode("ascii")
+    rows = [hx[i : i + width] for i in range(0, len(hx), width)]
+    return b"\n".join(rows) + b">"
+
+
+def encode_text_pdf_hex(lines: list[str], cascade: bool = False) -> bytes:
+    """One-page PDF 1.4 whose content stream is /ASCIIHexDecode —
+    either hex of the raw operators, or (``cascade=True``) the
+    ``[/ASCIIHexDecode /FlateDecode]`` filter array: on-disk bytes are
+    hex(deflate(ops)), decoded left-to-right per spec."""
+    ops = _content_ops(lines)
+    payload = _hexlify(zlib.compress(ops, 9) if cascade else ops)
+    filt = (
+        b"[/ASCIIHexDecode /FlateDecode]" if cascade else b"/ASCIIHexDecode"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ).encode(),
+        b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+        % (len(payload), filt, payload),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def encode_text_pdf_objstm(lines: list[str]) -> bytes:
+    """One-page PDF 1.5: the document dictionaries (catalog, pages,
+    page, font) packed into a Flate-compressed object stream (obj 6),
+    the content stream as a classic object (obj 4 — the spec forbids
+    streams inside object streams), and a cross-reference *stream*
+    (obj 7, ``/Type /XRef``, ``/W [1 4 2]``) instead of a classic
+    table — the layout PDF 1.5+ writers emit. Deterministic bytes."""
+    content = zlib.compress(_content_ops(lines), 9)
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
+                f"{PAGE_H}] /Contents 4 0 R /Resources << /Font "
+                f"<< /F1 5 0 R >> >> >>"
+            ).encode(),
+        ),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    parts, offs, cur = [], [], 0
+    for num, body in inner:
+        offs.append((num, cur))
+        parts.append(body)
+        cur += len(body) + 1
+    header = b" ".join(b"%d %d" % (n, o) for n, o in offs)
+    objstm_plain = header + b"\n" + b" ".join(parts)
+    first = len(header) + 1
+    objstm = zlib.compress(objstm_plain, 9)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offset_of: dict[int, int] = {}
+
+    def _classic(num: int, body: bytes) -> None:
+        offset_of[num] = len(out)
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+
+    _classic(
+        4,
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(content), content),
+    )
+    _classic(
+        6,
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream"
+        % (len(inner), first, len(objstm), objstm),
+    )
+    # xref stream rows, /W [1 4 2]: type, field2, field3
+    xref_at_placeholder = len(out)  # obj 7 starts here
+    rows = []
+    objstm_index = {num: i for i, (num, _) in enumerate(inner)}
+    for num in range(8):
+        if num == 0:
+            rows.append((0, 0, 65535))  # free head
+        elif num in objstm_index:
+            rows.append((2, 6, objstm_index[num]))  # in objstm 6
+        elif num == 7:
+            rows.append((1, xref_at_placeholder, 0))
+        else:
+            rows.append((1, offset_of[num], 0))
+    table = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    xref_data = zlib.compress(table, 9)
+    _classic(
+        7,
+        b"<< /Type /XRef /Size 8 /Root 1 0 R /W [1 4 2] "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(xref_data), xref_data),
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at_placeholder
     return bytes(out)
 
 
@@ -125,15 +259,70 @@ def _raw_streams(data: bytes) -> list[tuple[bytes, bytes]]:
     return out
 
 
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _filters(dict_text: bytes) -> list[bytes]:
+    """Filter chain in application (decode) order: a bare name or an
+    array of names, per spec applied left to right."""
+    m = _FILTER_RE.search(dict_text)
+    if not m:
+        return []
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    body = raw.split(b">")[0]  # '>' is the EOD marker
+    hx = re.sub(rb"\s", b"", body)
+    if len(hx) % 2:
+        hx += b"0"  # spec: odd-length data implies a trailing 0
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise PdfError(f"bad ASCIIHex stream: {exc}") from exc
+
+
 def _decode_stream(dict_text: bytes, raw: bytes) -> bytes:
-    if b"/Filter" not in dict_text:
-        return raw
-    if b"/FlateDecode" in dict_text:
-        try:
-            return zlib.decompress(raw)
-        except zlib.error as exc:
-            raise PdfError(f"bad Flate stream: {exc}") from exc
-    raise PdfError("unsupported stream filter")
+    for f in _filters(dict_text):
+        if f == b"FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise PdfError(f"bad Flate stream: {exc}") from exc
+        elif f == b"ASCIIHexDecode":
+            raw = _ascii_hex_decode(raw)
+        else:
+            raise PdfError(f"unsupported stream filter /{f.decode()}")
+    return raw
+
+
+_TYPE_RE = re.compile(rb"/Type\s*/([A-Za-z]+)")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)\b")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)\b")
+
+
+def _validate_objstm(dict_text: bytes, decoded: bytes) -> None:
+    """Structural check of a /Type /ObjStm body: N (num, offset) integer
+    pairs in the header, all offsets inside the body region. Content
+    streams can never live here (spec), so nothing is extracted — but
+    a corrupt object stream is outside the subset and must raise, not
+    pass silently."""
+    nm = _OBJSTM_N_RE.search(dict_text)
+    fm = _OBJSTM_FIRST_RE.search(dict_text)
+    if not nm or not fm:
+        raise PdfError("object stream missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = decoded[:first].split()
+    if len(header) != 2 * n:
+        raise PdfError("object stream header pair count mismatch")
+    try:
+        nums = [int(x) for x in header]
+    except ValueError as exc:
+        raise PdfError("non-integer object stream header") from exc
+    body_len = len(decoded) - first
+    for off in nums[1::2]:
+        if off < 0 or off > body_len:
+            raise PdfError("object stream offset out of range")
 
 
 def _read_string(s: str, i: int) -> tuple[str, int]:
@@ -314,7 +503,20 @@ def extract_text(data: bytes) -> list[str]:
     lines: list[str] = []
     saw_content = False
     for dict_text, raw in _raw_streams(data):
+        tm = _TYPE_RE.search(dict_text)
+        stype = tm.group(1) if tm else b""
+        if stype == b"XRef":
+            # cross-reference stream (PDF 1.5+): binary table, never
+            # content; skipped before decode (its /DecodeParms
+            # predictor post-processing is irrelevant to text)
+            continue
         decoded = _decode_stream(dict_text, raw)
+        if stype == b"ObjStm":
+            # document dictionaries packed in an object stream — the
+            # spec forbids nested streams, so no content lives here;
+            # validate the N/First header and move on
+            _validate_objstm(dict_text, decoded)
+            continue
         try:
             content = decoded.decode("latin-1")
         except UnicodeDecodeError as exc:  # pragma: no cover — latin-1 total

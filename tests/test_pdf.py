@@ -179,3 +179,84 @@ def test_encrypt_in_trailer_still_rejected():
     )
     with pytest.raises(pdf.PdfError):
         pdf.extract_text(body)
+
+
+# --- widened subset: ASCIIHex + filter cascades + PDF 1.5 ObjStm/XRef ------
+
+
+def test_ascii_hex_roundtrip():
+    lines = ["hex encoded", "second (line)"]
+    b = pdf.encode_text_pdf_hex(lines)
+    assert b"/ASCIIHexDecode" in b
+    assert pdf.extract_text(b) == lines
+
+
+def test_ascii_hex_flate_cascade_roundtrip():
+    """[/ASCIIHexDecode /FlateDecode]: filters applied in array order."""
+    lines = ["cascade of filters", "tab\there"]
+    b = pdf.encode_text_pdf_hex(lines, cascade=True)
+    assert b"[/ASCIIHexDecode /FlateDecode]" in b
+    assert pdf.extract_text(b) == lines
+
+
+def test_ascii_hex_odd_length_implies_trailing_zero():
+    """Spec: odd-length hex data implies a final 0 digit — 'BT (hi) Tj
+    ET' with its last digit dropped decodes to '... EP' ('T'=0x54 →
+    0x50='P'), which still tokenizes (unknown op) and yields the text."""
+    content = b"BT (hi) Tj ET"
+    payload = content[:-1].hex().encode() + b"5>"  # odd: implies 0x50
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /ASCIIHexDecode /Length "
+        + str(len(payload)).encode()
+        + b" >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    assert pdf.extract_text(body) == ["hi"]
+
+
+def test_objstm_pdf15_roundtrip():
+    lines = ["object streams", "cross-reference stream", "third line"]
+    b = pdf.encode_text_pdf_objstm(lines)
+    assert b.startswith(b"%PDF-1.5")
+    assert b"/Type /ObjStm" in b and b"/Type /XRef" in b
+    assert b"trailer" not in b  # xref stream replaces the classic trailer
+    assert pdf.extract_text(b) == lines
+
+
+def test_objstm_kernel_integration():
+    lines = ["alpha 1.5", "beta"]
+    res = process_media(
+        pdf.encode_text_pdf_objstm(lines), "application/pdf", "m15"
+    )
+    assert res.state == "PROCESSED"
+    assert res.txt.splitlines() == lines
+    assert res.score == 1.0
+
+
+def test_corrupt_objstm_raises():
+    b = bytearray(pdf.encode_text_pdf_objstm(["x"]))
+    # corrupt the ObjStm /N so the header pair count mismatches
+    i = bytes(b).find(b"/Type /ObjStm /N 4")
+    assert i > 0
+    body = bytes(b).replace(b"/Type /ObjStm /N 4", b"/Type /ObjStm /N 3")
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(body)
+
+
+def test_unknown_filter_still_rejected():
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter [/ASCIIHexDecode /LZWDecode] "
+        b"/Length 4 >>\nstream\n41>\nendstream\nendobj\n"
+    )
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(body)
+
+
+def test_encrypted_objstm_pdf15_rejected():
+    """/Encrypt in the xref-stream dict (the 1.5 trailer equivalent)
+    must be detected even with no 'trailer' keyword in the file."""
+    b = pdf.encode_text_pdf_objstm(["x"])
+    body = b.replace(b"/Type /XRef /Size 8", b"/Type /XRef /Encrypt 9 0 R /Size 8")
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(body)
