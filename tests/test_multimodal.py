@@ -13,9 +13,10 @@ def test_image_features(spark, media_df):
     by_ref = {r.media_ref: r for r in feats}
     assert len(feats) == media_df.count()
     ok = [r for r in feats if r.ok]
-    # corrupt png + fake pdf + real pdf fail (a PDF is not an image;
-    # the extraction kernel routes it to ocr/pdf.py instead)
-    assert len(ok) >= len(feats) - 3
+    # every PDF fails (a PDF is not an image; the extraction kernel
+    # routes those to ocr/pdf.py), plus the one corrupt png fixture
+    n_pdfs = len([r for r in feats if r.media_kind == "application/pdf"])
+    assert len(ok) == len(feats) - n_pdfs - 1
     r = ok[0]
     assert r.width > 0 and r.height > 0
     assert 0 < r.mean_brightness <= 255
