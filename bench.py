@@ -96,7 +96,11 @@ def _run_extract_bench(spark, n_docs: int, runs: int = 5, max_runs: int = 9) -> 
     media = media.cache()
     n = docs.count()
     n_media = media.count()
-    warm, _ = run_extract(spark, docs.limit(50), media, run_id="warmup")
+    # full-corpus warm-up (not a 50-doc slice): the first 1-2 timed
+    # runs of a fresh 8-core session otherwise still climb ~2x at
+    # measured steal 0.000 (python-worker JIT + page cache) — a
+    # long-lived cluster's steady state is the warm rate
+    warm, _ = run_extract(spark, docs, media, run_id="warmup")
     warm.count()
     release_run("warmup")
     samples: list[tuple[float, float | None]] = []  # (wall, steal_frac)
@@ -148,41 +152,30 @@ def main() -> None:
     extract_cores = int(os.environ.get("SPARK_GRAFT_EXTRACT_CORES", str(min(cpus, 8))))
 
     query_secs: dict[str, float] = {}
+    query_suite_steal: list[float | None] = []
     extract: dict = {}
     if do_queries:
-        from pero_ocr_api_spark.plans.queries import QUERIES
-
-        spark = _fresh_spark(cpus)
-
-        # JVM/regex warm-up so no timed query absorbs the one-time
-        # ~40 s codegen/JIT cost (first regexp/split expression per
-        # JVM): warm both the regexp_extract_all path (token stats)
-        # and the split+md5+conv shingle pipeline on 50 docs
-        from pero_ocr_api_spark.operators.dedup import (
-            minhash_signatures,
-            winnow_col,
-        )
-        from pero_ocr_api_spark.sources.tables import read_table
-        from pyspark.sql import functions as F
-
-        warm_docs = read_table(spark, sf_dir, "documents").limit(50)
-        warm_docs.select(
-            F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
-        ).count()
-        minhash_signatures(warm_docs).count()
-        warm_docs.select(F.size(winnow_col(F.col("text")))).count()
-        # IVF centroids train once per (session, corpus) by contract —
-        # warm the cache so the timed ivf_topk measures the amortized
-        # query path (assignment + probe), not the one-time training
-        from pero_ocr_api_spark.plans.queries_textops import _ivf_cents
-
-        _ivf_cents(spark, sf_dir).count()
-
-        for name in HEADLINE_QUERIES:
-            fn = QUERIES[name][0]
-            t0 = time.monotonic()
-            fn(spark, sf_dir).count()
-            query_secs[name] = round(time.monotonic() - t0, 3)
+        # The suite runs once per bench invocation, so a minutes-long
+        # host-steal/bandwidth window lands on whole queries (observed:
+        # the same query 2.6 s in a clean window, 109 s inside one).
+        # Same discipline as the headline: bracket the WHOLE suite with
+        # /proc/stat steal reads and re-run it once in a fresh session
+        # if the bracket shows taint — the retry decision reads host
+        # counters only, never the measured times (value-blind), and
+        # both attempts' steal fractions are reported.
+        best: tuple[dict[str, float], float | None] | None = None
+        for attempt in range(2):
+            secs, frac = _run_query_suite(sf_dir, cpus)
+            query_suite_steal.append(None if frac is None else round(frac, 3))
+            # keep the attempt with the smaller measured steal (host
+            # counters only — never the times themselves)
+            if best is None or (frac or 0.0) < (
+                best[1] if best[1] is not None else float("inf")
+            ):
+                best = (secs, frac)
+            if frac is None or frac <= STEAL_TAINT:
+                break
+        query_secs = best[0]
 
         spark = _fresh_spark(extract_cores)
         extract = _run_extract_bench(spark, bench_docs)
@@ -197,6 +190,9 @@ def main() -> None:
         "extract_cores": extract_cores,
         "extract": extract,
         "total_query_sec": round(sum(query_secs.values()), 3),
+        # steal fraction bracketing each query-suite attempt (last
+        # attempt's numbers are the ones quoted above)
+        "query_suite_steal": query_suite_steal,
     }
 
     if do_scaling:
@@ -208,6 +204,56 @@ def main() -> None:
     # stop; the JSON line is out, so exit hard rather than risk the
     # caller waiting on a zombie
     os._exit(0)
+
+
+def _run_query_suite(sf_dir: str, cpus: int) -> tuple[dict[str, float], float | None]:
+    """One timed pass over HEADLINE_QUERIES in a fresh session (warmed
+    first), steal-bracketed as a whole. Returns (per-query secs,
+    suite steal fraction)."""
+    from pero_ocr_api_spark.plans.queries import QUERIES
+    from pero_ocr_api_spark.plans.queries_textops import (
+        _ivf_cents,
+        release_query_caches,
+    )
+
+    # clear module-level caches from any prior attempt (dead-session
+    # handles unpersist as no-ops) so every attempt rebuilds the same
+    # cache state and times stay comparable across attempts
+    release_query_caches()
+    spark = _fresh_spark(cpus)
+
+    # JVM/regex warm-up so no timed query absorbs the one-time
+    # ~40 s codegen/JIT cost (first regexp/split expression per
+    # JVM): warm both the regexp_extract_all path (token stats)
+    # and the split+md5+conv shingle pipeline on 50 docs
+    from pero_ocr_api_spark.operators.dedup import (
+        minhash_signatures,
+        winnow_col,
+    )
+    from pero_ocr_api_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    warm_docs = read_table(spark, sf_dir, "documents").limit(50)
+    warm_docs.select(
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
+    ).count()
+    minhash_signatures(warm_docs).count()
+    warm_docs.select(F.size(winnow_col(F.col("text")))).count()
+    # IVF centroids train once per (session, corpus) by contract —
+    # warm the cache so the timed ivf_topk measures the amortized
+    # query path (assignment + probe), not the one-time training
+    _ivf_cents(spark, sf_dir).count()
+
+    secs: dict[str, float] = {}
+    s0 = _steal_ticks()
+    t0 = time.monotonic()
+    for name in HEADLINE_QUERIES:
+        fn = QUERIES[name][0]
+        q0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        secs[name] = round(time.monotonic() - q0, 3)
+    wall = time.monotonic() - t0
+    return secs, _steal_frac(s0, _steal_ticks(), wall)
 
 
 def _stage_corpus(n_docs: int, path: str) -> None:

@@ -131,6 +131,42 @@ def stream_exact_dedup(
     )
 
 
+def stream_near_dedup(
+    spark: SparkSession,
+    input_path: str,
+    watermark_delay: str = "10 minutes",
+    bits: int = 32,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: 32-bit simhash signature,
+    first-seen doc per signature wins within the event-time watermark.
+    Near-identical docs (shared vocabulary up to small edits) collapse
+    to *identical* simhashes, so exact-signature
+    ``dropDuplicatesWithinWatermark`` delivers the Hamming-0 tier of
+    near-dup detection with watermark-bounded state — the streaming
+    twin of the batch ``simhash_near_pairs`` star stage
+    (operators/dedup.py). Hamming-1 cross pairs need signature-flip
+    probing against the full group table and stay a batch concern (a
+    stream sees each signature once; the batch job owns the corpus).
+
+    Scale note: state is one 32-bit signature per in-watermark doc —
+    O(ingest-rate × delay); the per-row simhash expression is pure
+    JVM (no Python in the stream)."""
+    from pero_ocr_api_spark.operators.dedup import simhash_col
+
+    schema = "doc_id string, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+    )
+    return (
+        stream.withColumn("simhash", simhash_col(F.col("text"), bits))
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["simhash"])
+        .select("doc_id", "ts", "simhash")
+    )
+
+
 # --- U6 as a custom stateful operator (applyInPandasWithState) -------------
 
 PAGE_EVENT_SCHEMA = "page_id string, state string, ts timestamp"

@@ -45,3 +45,41 @@ def test_stream_exact_dedup(spark):
     # normalization folds case/whitespace → a_dup and a_dup2 collapse on a
     assert "a" in kept and "b" in kept and "c" in kept
     assert "a_dup" not in kept and "a_dup2" not in kept
+
+
+def test_stream_near_dedup(spark):
+    """Simhash near-dup suppression: a lightly-edited re-crawl (same
+    vocabulary, tiny edit) collapses to the original's signature and
+    is dropped; genuinely different docs survive."""
+    from pero_ocr_api_spark.streaming.pipeline import stream_near_dedup
+
+    d = tempfile.mkdtemp()
+    schema = "doc_id string, ts timestamp, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew black quartz potions at dawn in the old tower"
+    )
+    spark.createDataFrame(
+        [
+            ("a", T0, base),
+            # near-dup: same token multiset, reordered tail — simhash is
+            # order-free over distinct tokens, so signature is identical
+            ("a_near", T0 + timedelta(seconds=5), base + " the"),
+            ("b", T0 + timedelta(seconds=6), "completely different text about spark physical plans and shuffle exchanges"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(f"{d}/in")
+
+    sq = (
+        stream_near_dedup(spark, f"{d}/in", watermark_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("near_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(240)
+    rows = {r.doc_id: r.simhash for r in spark.sql("select * from near_dedup_out").collect()}
+    assert "a" in rows and "b" in rows
+    assert "a_near" not in rows  # identical signature within watermark
+    assert rows["a"] != rows["b"]
