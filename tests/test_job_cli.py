@@ -251,3 +251,49 @@ def test_curate_job_embedding_stage(spark):
     rows_back = spark.read.parquet(f"{d}/kept_rows")
     assert rows_back.count() == len(kept)
     assert {"doc_id", "text", "lang"} <= set(rows_back.columns)
+
+
+def test_write_extracted_bucketed(spark, docs_df, media_df):
+    """doc_id-bucketed output table: exactly-once on re-write, and the
+    merge anti-join shuffles ONLY the incoming batch — the bucketed
+    target scans pre-partitioned on doc_id (the Iceberg
+    bucket(doc_id) analog the north rule asks for)."""
+    from pero_ocr_api_spark.plans.io import write_extracted_bucketed
+
+    d = tempfile.mkdtemp()
+    table = "extracted_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    first, _ = run_extract(spark, docs_df.limit(15), media_df, run_id="bk1")
+    try:
+        n1 = write_extracted_bucketed(
+            spark, first, table, path=f"{d}/t", buckets=4
+        )
+        assert n1 == 15
+        # re-write of the same batch must add nothing (exactly-once)
+        assert write_extracted_bucketed(
+            spark, first, table, path=f"{d}/t", buckets=4
+        ) == 0
+        assert spark.table(table).count() == 15
+
+        # plan shape: with broadcasting disabled, the anti-join against
+        # the bucketed table carries exactly one Exchange (batch side)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch = spark.createDataFrame(
+                [(f"doc{i:09d}",) for i in range(20)], "doc_id string"
+            )
+            plan = (
+                batch.join(
+                    spark.table(table).select("doc_id"), "doc_id", "left_anti"
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
