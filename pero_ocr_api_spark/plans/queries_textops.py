@@ -820,6 +820,39 @@ WHERE {duckdb_round_bin(cos, 4)} >= {NEARDUP_THRESHOLD}
 """
 
 
+def q_embedding_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed 5th-family dedup keep-list: corpus ∪ scaled twins →
+    ANN self-join near pairs → drop every id2 (keep-min-id, the same
+    contract as the text `dedup_keep_list`) — the query shape the
+    curate job's --embeddings stage runs, as an oracle-checked entry.
+    One anti-join over the pair set; nothing broadcast by
+    construction."""
+    emb = read_table(spark, sf, "embeddings")
+    twins = emb.filter(F.col("vec_id") < N_NEARDUP).select(
+        (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.1).alias("embedding"),
+        "label",
+    )
+    all_emb = emb.unionByName(twins)
+    pairs = similarity.ann_self_pairs(all_emb, NEARDUP_THRESHOLD, EMB_DIM)
+    drops = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    return all_emb.select("vec_id").join(drops, "vec_id", "left_anti")
+
+
+def _sql_embedding_dedup_keep() -> str:
+    return f"""
+WITH self_pairs AS ({_sql_ann_self_near_pairs()}),
+all_ids AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEARDUP_OFFSET} FROM embeddings
+  WHERE vec_id < {N_NEARDUP}
+)
+SELECT vec_id FROM all_ids
+WHERE vec_id NOT IN (SELECT id2 FROM self_pairs)
+"""
+
+
 # --- kNN label vote over exact top-k ------------------------------------------------
 def q_knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
     """Majority label among the exact top-5 neighbors per query
@@ -1207,6 +1240,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "ann_self_near_pairs": (q_ann_self_near_pairs, _sql_ann_self_near_pairs()),
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
+    "embedding_dedup_keep": (q_embedding_dedup_keep, _sql_embedding_dedup_keep()),
     "knn_label_vote": (q_knn_label_vote, _sql_knn_label_vote()),
     "dedup_keep_list": (q_dedup_keep_list, _sql_dedup_keep_list()),
     "training_filter_pipeline": (
