@@ -222,3 +222,20 @@ def test_ivf_centroids_amortized_across_calls(spark):
     cents2 = list(qt._IVF_CENTS_CACHE.values())
     assert len(cents1) == 1 and cents1[0] is cents2[0]
     qt.release_query_caches()
+
+
+def test_embedding_dedup_keep_drops_exactly_the_twins(spark):
+    """Composed 5th-family keep-list (q_embedding_dedup_keep): every
+    constructed twin id is dropped (a twin is always id2 of its pair —
+    its id exceeds every original in its bucket) and, at threshold
+    0.999 on this corpus, every original survives: random 64-dim
+    vectors never reach 0.999 cosine, so the only near-pairs are the
+    twin↔original ones."""
+    from pero_ocr_api_spark.plans import queries_textops as qt
+
+    emb = read_table(spark, SF, "embeddings")
+    total = emb.count()
+    kept = qt.q_embedding_dedup_keep(spark, SF)
+    ids = [r.vec_id for r in kept.collect()]
+    assert len(ids) == total  # all originals kept
+    assert max(ids) < qt.NEARDUP_OFFSET  # every twin dropped
