@@ -17,9 +17,10 @@ Supported subset (deliberately small, honestly bounded):
   always stays a classic stream object; ObjStm bodies are decoded and
   structurally validated (N/First header), XRef streams are
   recognized and skipped;
-* uncompressed, ``/FlateDecode``, and ``/ASCIIHexDecode`` streams,
-  including filter cascades (``[/ASCIIHexDecode /FlateDecode]``)
-  applied in array order;
+* uncompressed, ``/FlateDecode``, ``/ASCIIHexDecode``,
+  ``/ASCII85Decode``, and ``/RunLengthDecode`` streams, including
+  filter cascades (``[/ASCIIHexDecode /FlateDecode]``) applied in
+  array order;
 * text operators ``BT/ET``, ``Tj``, ``TJ``, ``'``, ``"``, with line
   structure from ``Td``/``TD``/``T*``; literal strings with the full
   escape set (octal, nesting, line continuations) and hex strings.
@@ -33,8 +34,10 @@ Flate-compressed content stream — used by the synthetic corpus so the
 extractor is exercised against independently-constructed bytes, and
 readable by any standard viewer (the fixture is a real PDF, not a
 private format). :func:`encode_text_pdf_hex` (ASCIIHex, optionally
-cascaded with Flate) and :func:`encode_text_pdf_objstm` (PDF 1.5
-ObjStm + XRef stream) write the widened-subset fixtures.
+cascaded with Flate), :func:`encode_text_pdf_a85` (ASCII85, optionally
+cascaded), :func:`encode_text_pdf_rle` (RunLength), and
+:func:`encode_text_pdf_objstm` (PDF 1.5 ObjStm + XRef stream) write
+the widened-subset fixtures.
 """
 
 from __future__ import annotations
@@ -144,6 +147,103 @@ def encode_text_pdf_hex(lines: list[str], cascade: bool = False) -> bytes:
         % (len(objs) + 1, xref_at)
     )
     return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    """PDF-variant ASCII85 (no leading ``<~``): 4 bytes → 5 chars in
+    ``!``..``u``, all-zero full groups as ``z``, partial final group
+    of n bytes → n+1 chars, ``~>`` EOD."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\0" * (4 - n), "big")
+        if v == 0 and n == 4:
+            out += b"z"
+            continue
+        digits = bytearray(5)
+        for j in range(4, -1, -1):
+            digits[j] = 0x21 + v % 85
+            v //= 85
+        out += digits[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """PDF RunLengthDecode inverse: replicate runs (2-128 equal bytes)
+    as (257-count, byte), literal runs (1-128 bytes) as (count-1,
+    bytes), 128 EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j + 1 < len(data) and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:
+            k = i
+            while (
+                k < len(data)
+                and k - i < 128
+                and not (k + 1 < len(data) and data[k] == data[k + 1])
+            ):
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    out.append(128)
+    return bytes(out)
+
+
+def _classic_filtered_pdf(filt: bytes, payload: bytes) -> bytes:
+    """Assemble the standard 5-object single-page PDF 1.4 around an
+    already-encoded content payload with the given /Filter value —
+    shared by the widened-subset fixture writers."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ).encode(),
+        b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+        % (len(payload), filt, payload),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def encode_text_pdf_a85(lines: list[str], cascade: bool = False) -> bytes:
+    """One-page PDF 1.4 whose content stream is /ASCII85Decode — either
+    base-85 of the raw operators, or (``cascade=True``) the
+    ``[/ASCII85Decode /FlateDecode]`` array (base-85 of deflate)."""
+    ops = _content_ops(lines)
+    payload = _a85_encode(zlib.compress(ops, 9) if cascade else ops)
+    filt = b"[/ASCII85Decode /FlateDecode]" if cascade else b"/ASCII85Decode"
+    return _classic_filtered_pdf(filt, payload)
+
+
+def encode_text_pdf_rle(lines: list[str]) -> bytes:
+    """One-page PDF 1.4 whose content stream is /RunLengthDecode."""
+    return _classic_filtered_pdf(
+        b"/RunLengthDecode", _rle_encode(_content_ops(lines))
+    )
 
 
 def encode_text_pdf_objstm(lines: list[str]) -> bytes:
@@ -282,6 +382,73 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
         raise PdfError(f"bad ASCIIHex stream: {exc}") from exc
 
 
+_A85_WS = frozenset(b" \t\r\n\f\x00")
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """PDF ASCII85: 5 chars ``!``..``u`` → 4 bytes (base 85), ``z`` =
+    four zero bytes (full groups only), whitespace ignored, ``~>``
+    EOD; a final partial group of n chars (2-4) is ``u``-padded and
+    yields its first n-1 bytes. Out-of-range chars, a lone trailing
+    char, or a group above 2^32-1 are outside the subset → PdfError."""
+    body = raw.split(b"~>")[0]
+
+    def group_bytes(g: list[int], nbytes: int) -> bytes:
+        v = 0
+        for d in g:
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise PdfError("ASCII85: group exceeds 32 bits")
+        return v.to_bytes(4, "big")[:nbytes]
+
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch in _A85_WS:
+            continue
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise PdfError("ASCII85: 'z' inside a group")
+            out += b"\0\0\0\0"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise PdfError(f"ASCII85: invalid character {ch:#04x}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            out += group_bytes(group, 4)
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("ASCII85: lone trailing character")
+        n = len(group)
+        group += [84] * (5 - n)  # pad with 'u'
+        out += group_bytes(group, n - 1)
+    return bytes(out)
+
+
+def _run_length_decode(raw: bytes) -> bytes:
+    """PDF RunLengthDecode: length byte L<128 → copy next L+1 bytes;
+    L>128 → repeat next byte 257-L times; L=128 EOD (required)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        ln = raw[i]
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = raw[i + 1 : i + 2 + ln]
+            if len(chunk) != ln + 1:
+                raise PdfError("RunLength: truncated literal run")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= len(raw):
+                raise PdfError("RunLength: truncated replicate run")
+            out += raw[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    raise PdfError("RunLength: missing EOD marker")
+
+
 def _decode_stream(dict_text: bytes, raw: bytes) -> bytes:
     for f in _filters(dict_text):
         if f == b"FlateDecode":
@@ -291,6 +458,10 @@ def _decode_stream(dict_text: bytes, raw: bytes) -> bytes:
                 raise PdfError(f"bad Flate stream: {exc}") from exc
         elif f == b"ASCIIHexDecode":
             raw = _ascii_hex_decode(raw)
+        elif f == b"ASCII85Decode":
+            raw = _ascii85_decode(raw)
+        elif f == b"RunLengthDecode":
+            raw = _run_length_decode(raw)
         else:
             raise PdfError(f"unsupported stream filter /{f.decode()}")
     return raw

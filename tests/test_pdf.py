@@ -260,3 +260,73 @@ def test_encrypted_objstm_pdf15_rejected():
     body = b.replace(b"/Type /XRef /Size 8", b"/Type /XRef /Encrypt 9 0 R /Size 8")
     with pytest.raises(pdf.PdfError):
         pdf.extract_text(body)
+
+
+# --- ASCII85Decode + RunLengthDecode (round-4 widened subset) -----------------
+
+
+def test_ascii85_roundtrip():
+    lines = ["base eighty-five", "zzzz and tildes ~ fine in text"]
+    b = pdf.encode_text_pdf_a85(lines)
+    assert b"/ASCII85Decode" in b
+    assert pdf.extract_text(b) == lines
+
+
+def test_ascii85_flate_cascade_roundtrip():
+    lines = ["cascaded", "a85(deflate(ops))"]
+    b = pdf.encode_text_pdf_a85(lines, cascade=True)
+    assert b"[/ASCII85Decode /FlateDecode]" in b
+    assert pdf.extract_text(b) == lines
+
+
+def test_ascii85_zero_group_and_partials():
+    """'z' expands to four zero bytes; every partial-group length (1-3
+    trailing bytes) roundtrips through the u-padding rule."""
+    assert pdf._ascii85_decode(b"z~>") == b"\0\0\0\0"
+    for n in range(1, 9):
+        data = bytes(range(1, n + 1))
+        assert pdf._ascii85_decode(pdf._a85_encode(data)) == data
+
+
+def test_ascii85_malformed_raises():
+    with pytest.raises(pdf.PdfError):
+        pdf._ascii85_decode(b"ab\x7fcd~>")  # out-of-range char
+    with pytest.raises(pdf.PdfError):
+        pdf._ascii85_decode(b"!!!!z~>")  # z inside a group
+    with pytest.raises(pdf.PdfError):
+        pdf._ascii85_decode(b"!!!!!a~>")  # lone trailing char
+    with pytest.raises(pdf.PdfError):
+        pdf._ascii85_decode(b"uuuuu~>")  # group > 2^32-1
+
+
+def test_rle_roundtrip():
+    lines = ["aaaaaaaaaa run lengths", "literal mix 12345"]
+    b = pdf.encode_text_pdf_rle(lines)
+    assert b"/RunLengthDecode" in b
+    assert pdf.extract_text(b) == lines
+
+
+def test_rle_decoder_edges():
+    # 128-byte replicate run (max) + literal + EOD
+    enc = bytes([129]) + b"x" + bytes([2]) + b"abc" + bytes([128])
+    assert pdf._run_length_decode(enc) == b"x" * 128 + b"abc"
+    # encoder handles long runs and long literals
+    data = b"q" * 300 + bytes(range(256)) * 2
+    assert pdf._run_length_decode(pdf._rle_encode(data)) == data
+    with pytest.raises(pdf.PdfError):
+        pdf._run_length_decode(bytes([5]) + b"ab")  # truncated literal
+    with pytest.raises(pdf.PdfError):
+        pdf._run_length_decode(bytes([200]))  # truncated replicate
+    with pytest.raises(pdf.PdfError):
+        pdf._run_length_decode(bytes([0]) + b"a")  # missing EOD
+
+
+def test_new_filter_kernel_integration():
+    """Both new layouts run through the OCR kernel media path."""
+    for blob in (
+        pdf.encode_text_pdf_a85(["kernel a85"], cascade=True),
+        pdf.encode_text_pdf_rle(["kernel rle"]),
+    ):
+        res = process_media(blob, "application/pdf", "ref.pdf", {})
+        assert res.state == "PROCESSED"
+        assert res.confidences and min(res.confidences) == 1.0
