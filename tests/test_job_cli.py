@@ -11,6 +11,8 @@ import zipfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pero_ocr_api_spark.plans.extract import run_extract
 from pero_ocr_api_spark.plans.io import write_extracted
 
@@ -297,3 +299,62 @@ def test_write_extracted_bucketed(spark, docs_df, media_df):
         assert "Bucketed: true" in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_extracted_bucketed(spark, docs_df, media_df):
+    """Small-file compaction: several merge-appends accumulate many
+    files; compaction rewrites to exactly one file per bucket, keeps
+    the row set byte-identical, preserves the bucket layout (the
+    anti-join still shuffles only the batch side), and stays
+    exactly-once for subsequent appends."""
+    from pero_ocr_api_spark.plans.io import (
+        compact_extracted_bucketed,
+        write_extracted_bucketed,
+    )
+
+    table = "extracted_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+    full, _ = run_extract(spark, docs_df.limit(12), media_df, run_id="cp1")
+    full = full.cache()
+    try:
+        # three incremental appends -> multiple files per bucket
+        for lo, hi in ((0, 4), (4, 8), (8, 12)):
+            batch = full.filter(
+                F.col("doc_id").isin(
+                    [r.doc_id for r in full.select("doc_id").collect()][lo:hi]
+                )
+            )
+            write_extracted_bucketed(spark, batch, table, buckets=4)
+        before_rows = {r.doc_id for r in spark.table(table).collect()}
+        files_before, files_after = compact_extracted_bucketed(spark, table)
+        assert files_before > 4  # 3 appends x up-to-4-bucket files
+        assert files_after == 4  # one file per bucket
+        assert {r.doc_id for r in spark.table(table).collect()} == before_rows
+
+        # bucket layout survived: anti-join still one Exchange
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch = spark.createDataFrame(
+                [(f"doc{i:09d}",) for i in range(20)], "doc_id string"
+            )
+            plan = (
+                batch.join(
+                    spark.table(table).select("doc_id"), "doc_id", "left_anti"
+                )
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan
+
+        # still exactly-once after compaction
+        assert write_extracted_bucketed(spark, full, table, buckets=4) == 0
+    finally:
+        full.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
