@@ -1220,7 +1220,150 @@ FROM documents GROUP BY source
 """
 
 
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-ingest data-quality profile of the documents drop: per-column
+    null count, exact cardinality, string-form min/max, total payload
+    chars — ONE scan for all 5 columns (operators/profile.py; the
+    100 TB variant flips approx=True for HLL cardinalities)."""
+    from pero_ocr_api_spark.operators.profile import profile_table
+
+    return profile_table(_docs(spark, sf), PROFILE_COLS)
+
+
+def _sql_table_profile() -> str:
+    from pero_ocr_api_spark.operators.profile import duckdb_profile_sql
+
+    return duckdb_profile_sql("documents", PROFILE_COLS)
+
+
+PII_MOD = 7  # doc_id % 7 == 0 gets injected contact PII
+
+
+def _pii_text_col() -> "F.Column":
+    """documents.text with deterministic contact PII appended to every
+    PII_MOD-th doc — the scrubber must find exactly these (the synthetic
+    corpus carries none of its own)."""
+    two = F.lpad((F.col("doc_id") % 90 + 10).cast("string"), 2, "0")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-202-555-01"),
+        two,
+        F.lit("."),
+    )
+    return F.when(F.col("doc_id") % PII_MOD == 0, injected).otherwise(
+        F.col("text")
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over the corpus: count e-mails/phones per doc and
+    emit the redacted length delta — JVM regexp projections only
+    (functions/pii.py), one scan, no shuffle before the final agg-free
+    projection."""
+    from pero_ocr_api_spark.functions import pii
+
+    docs = _docs(spark, sf)
+    t = _pii_text_col()
+    return docs.select(
+        "doc_id",
+        pii.email_count_col(t).alias("n_emails"),
+        pii.phone_count_col(t).alias("n_phones"),
+        (F.length(t) - F.length(pii.redact_pii_col(t))).alias("chars_removed"),
+    )
+
+
+def _sql_pii_redaction() -> str:
+    from pero_ocr_api_spark.functions import pii
+
+    two = "lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0')"
+    injected = (
+        "text || ' Contact: user' || CAST(doc_id AS VARCHAR) || "
+        f"'@mail.example.com or +1-202-555-01' || {two} || '.'"
+    )
+    t = f"(CASE WHEN doc_id % {PII_MOD} = 0 THEN {injected} ELSE text END)"
+    return f"""
+SELECT doc_id, {pii.duckdb_email_count_sql(t)} AS n_emails,
+       {pii.duckdb_phone_count_sql(t)} AS n_phones,
+       (length({t}) - length({pii.duckdb_redact_pii_sql(t)})) AS chars_removed
+FROM documents
+"""
+
+
+HREF_RE = r"href='([^']*)'"
+N_CATS = 13
+N_EXT = 5
+# Shared HTML-shell fragments (text and two doc_id-derived ids are
+# interleaved between them) — both engines concat the identical shell,
+# then each re-parses it with its OWN regex engine.
+_LINK_FRAGS = (
+    "<html><body><nav><a href='/'>Home</a></nav><p>",
+    "</p><a href='/cat/",
+    "'>c</a> <a href='https://ext",
+    ".example.com/p'>x</a></body></html>",
+)
+
+
+def _linked_html_col() -> "F.Column":
+    """Deterministic 3-link HTML shell per doc: site root, a category
+    page (doc_id % N_CATS), an external domain (doc_id % N_EXT)."""
+    return F.concat(
+        F.lit(_LINK_FRAGS[0]),
+        F.col("text"),
+        F.lit(_LINK_FRAGS[1]),
+        (F.col("doc_id") % N_CATS).cast("string"),
+        F.lit(_LINK_FRAGS[2]),
+        (F.col("doc_id") % N_EXT).cast("string"),
+        F.lit(_LINK_FRAGS[3]),
+    )
+
+
+def q_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-graph edge extraction: pull every href from the (synthetic)
+    HTML shell, explode, count in-degree per target — the crawl-side
+    op that feeds PageRank-style corpus weighting. regexp_extract_all
+    + explode + partial-agg groupBy: one scan, one shuffle on href."""
+    docs = _docs(spark, sf)
+    hrefs = F.regexp_extract_all(_linked_html_col(), F.lit(HREF_RE), F.lit(1))
+    return (
+        docs.select(F.explode(hrefs).alias("href"))
+        .groupBy("href")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+def _sql_link_graph() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html = " || ".join(
+        [
+            lit(_LINK_FRAGS[0]),
+            "text",
+            lit(_LINK_FRAGS[1]),
+            f"CAST(doc_id % {N_CATS} AS VARCHAR)",
+            lit(_LINK_FRAGS[2]),
+            f"CAST(doc_id % {N_EXT} AS VARCHAR)",
+            lit(_LINK_FRAGS[3]),
+        ]
+    )
+    return f"""
+WITH edges AS (
+  SELECT unnest(regexp_extract_all({html}, {lit(HREF_RE)}, 1)) AS href
+  FROM documents
+)
+SELECT href, count(*) AS n_refs FROM edges GROUP BY href
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
+    "table_profile": (q_table_profile, _sql_table_profile()),
+    "pii_redaction": (q_pii_redaction, _sql_pii_redaction()),
+    "link_graph": (q_link_graph, _sql_link_graph()),
     "clean_html_docs": (q_clean_html_docs, _sql_clean_html_docs()),
     "lang_guess_counts": (q_lang_guess_counts, SQL_LANG_GUESS_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
