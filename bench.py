@@ -61,6 +61,10 @@ HEADLINE_QUERIES = (
     "repetition_stats",
     # round-4 addition (composes ann_self_pairs — rides its caches)
     "embedding_dedup_keep",
+    # round-4 pipeline ops (one-scan JVM projections/aggregates)
+    "table_profile",
+    "pii_redaction",
+    "link_graph",
 )
 
 
