@@ -17,6 +17,13 @@ cheap-filter → exact-verify order:
                        of every pair with cosine ≥ --cosine — the 5th
                        dedup family, semantic near-dups that share no
                        n-grams;
+4c. closure          — (with --closure) union the text + embedding
+                       pair lists and run connected components
+                       (min-label propagation + pointer jumping),
+                       keeping exactly one doc (min id) per dup
+                       component: pairwise drop-the-higher-id
+                       under-dedups chain-shaped dup graphs because
+                       near-dup similarity is not transitive;
 5. mix sampling      — deterministic md5-hash stratified sampling by
                        lang (reproducible across runs/cluster sizes;
                        unlisted langs keep 100%).
@@ -65,6 +72,16 @@ def parse_args(argv):
         default=None,
         help="also write kept rows repartitioned by doc_id hash "
         "(Iceberg-shaped handoff)",
+    )
+    p.add_argument(
+        "--closure",
+        action="store_true",
+        help="transitive dedup: union the text-LSH and embedding pair "
+        "lists, run connected components, keep one doc (min id) per "
+        "component. The pairwise default drops every pair's higher id, "
+        "which under-dedups chain-shaped dup graphs (A~B, B~C with "
+        "A<B<C keeps both A and the un-paired chain interior); the "
+        "closure is the exact keep-one-per-cluster semantics.",
     )
     p.add_argument("--no-sampling", action="store_true")
     p.add_argument("--cores", type=int, default=None, help="local mode only")
@@ -162,7 +179,7 @@ def main(argv=None) -> int:
     sh = exact_docs.select(
         "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
     ).cache()
-    near_dups = (
+    vpairs = (
         pairs.join(
             sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1"
         )
@@ -170,11 +187,17 @@ def main(argv=None) -> int:
             sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2"
         )
         .filter(dedup.jaccard_col(F.col("sh1"), F.col("sh2")) >= args.jaccard)
-        .select(F.col("id2").alias("doc_id"))
-        .distinct()
+        .select("id1", "id2")
     )
-    deduped = exact_kept.join(near_dups, "doc_id", "left_anti")
-    n_deduped = deduped.count()
+    if args.closure:
+        # edges accumulate across families; one closure after stage 4b
+        edge_sets = [vpairs]
+        deduped = exact_kept
+        n_deduped = None
+    else:
+        near_dups = vpairs.select(F.col("id2").alias("doc_id")).distinct()
+        deduped = exact_kept.join(near_dups, "doc_id", "left_anti")
+        n_deduped = deduped.count()
 
     # -- 4b: embedding near-dup (corpus-scale ANN self-join) -------------
     emb_report = None
@@ -191,9 +214,13 @@ def main(argv=None) -> int:
         emb_pairs = similarity.ann_self_pairs(
             surv_emb, args.cosine, dim, bands_out=bands_holder
         )
-        emb_dups = emb_pairs.select(F.col("id2").alias("doc_id")).distinct()
-        deduped = deduped.join(emb_dups, "doc_id", "left_anti")
-        n_deduped_emb = deduped.count()
+        if args.closure:
+            edge_sets.append(emb_pairs.select("id1", "id2"))
+            n_deduped_emb = None
+        else:
+            emb_dups = emb_pairs.select(F.col("id2").alias("doc_id")).distinct()
+            deduped = deduped.join(emb_dups, "doc_id", "left_anti")
+            n_deduped_emb = deduped.count()
         # same skew metrics as the text LSH: the bands are already
         # cached by ann_self_pairs, so this is one cheap aggregate
         eskew = dedup.lsh_bucket_sizes(bands_holder[0], id_col="vec_id").agg(
@@ -209,6 +236,23 @@ def main(argv=None) -> int:
                 "n_capped_buckets": int(eskew["n_capped_buckets"] or 0),
                 "cap": dedup.MAX_BUCKET,
             },
+        }
+
+    # -- 4c (--closure): one transitive closure over every pair family ---
+    closure_report = None
+    if args.closure:
+        edges = edge_sets[0]
+        for e in edge_sets[1:]:
+            edges = edges.unionByName(e)
+        comps = dedup.connected_components(edges)
+        drops = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        deduped = exact_kept.join(drops, "doc_id", "left_anti")
+        n_deduped = deduped.count()
+        closure_report = {
+            "n_dup_components": comps.select("component").distinct().count(),
+            "families": 1 + (1 if args.embeddings else 0),
         }
 
     # -- 5: deterministic stratified mix sampling ------------------------
@@ -252,8 +296,10 @@ def main(argv=None) -> int:
         "after_near_dedup": n_deduped,
         "kept": n_kept,
     }
-    if emb_report is not None:
+    if emb_report is not None and emb_report["after_embedding_dedup"] is not None:
         funnel["after_embedding_dedup"] = emb_report["after_embedding_dedup"]
+    if closure_report is not None:
+        funnel["closure"] = closure_report
 
     print(
         json.dumps(

@@ -603,3 +603,108 @@ def duckdb_jaccard_sql(sh1: str, sh2: str) -> str:
     return (
         f"({inter} / greatest(len({sh1}) + len({sh2}) - {inter}, 1))"
     )
+
+
+# --------------------------------------------- connected components ---
+def connected_components(
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a candidate-pair graph:
+    ``(node, component)`` where ``component`` is the minimum node id
+    in each component.
+
+    The keep-one-per-cluster step of a dedup pipeline is per
+    *component*, not per pair: near-dup similarity is not transitive,
+    so LSH/SimHash pair lists chain A~B~C without ever emitting A~C —
+    only the transitive closure groups them. This is the DataFrame
+    rendering of the iterated min-label-propagation + pointer-jumping
+    family used by MapReduce CC algorithms (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): per round every
+    node takes the min label over itself and its neighbours (one
+    groupBy-min + one join), then labels are compressed one hop
+    (``lbl := lbl(lbl)``, a self-join) — the jump halves the label
+    tree depth, so rounds = O(log diameter), not O(diameter).
+
+    Scale shape per round: 2 equi-joins + 1 groupBy on uniformly
+    distributed ids (dup graphs are star/short-chain shaped — the
+    capped LSH output is explicitly a star per bucket, so 2-4 rounds
+    in practice); the label table is eagerly ``localCheckpoint``-ed
+    every round to keep lineage flat (same lesson as the IVF Lloyd
+    loop), and the fixpoint test is a count of decreased labels —
+    labels only ever decrease, so 0 decreases = converged.
+    """
+    e1 = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    e2 = edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
+    sym = e1.unionAll(e2)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(sym["dst"].alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        merged = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        hop = merged.select(
+            F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl")
+        )
+        jumped = (
+            merged.join(hop, merged["lbl"] == hop["j_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("j_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        old = labels.select(
+            F.col("node").alias("o_node"), F.col("lbl").alias("o_lbl")
+        )
+        decreased = (
+            jumped.join(old, jumped["node"] == old["o_node"])
+            .filter(F.col("lbl") < F.col("o_lbl"))
+            .count()
+        )
+        labels = jumped
+        if decreased == 0:
+            break
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("lbl").cast("long").alias("component"),
+    )
+
+
+def duckdb_components_sql(edges_cte: str = "edges") -> str:
+    """Recursive-CTE twin of :func:`connected_components`: min
+    reachable id per node (exact transitive closure — fine at oracle
+    scale). Expects ``{edges_cte}(id1, id2)`` in scope; emits
+    ``(node, component)`` with both BIGINT."""
+    return f"""
+sym AS (
+  SELECT id1 AS src, id2 AS dst FROM {edges_cte}
+  UNION ALL
+  SELECT id2, id1 FROM {edges_cte}
+),
+reach(node, r) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT re.node, s.dst FROM reach re JOIN sym s ON s.src = re.r
+),
+components AS (
+  SELECT CAST(node AS BIGINT) AS node,
+         CAST(least(node, min(r)) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)"""

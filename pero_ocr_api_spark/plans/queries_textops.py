@@ -210,25 +210,35 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(bands)
 
 
-def _sql_bands_cte(source_cte: str = "all_docs") -> str:
-    """Shared CTE chain: source docs → shingle ints → sigs → bands."""
+def _sql_bands_cte(
+    source_cte: str = "all_docs", prefix: str = "", with_sized: bool = True
+) -> str:
+    """Shared CTE chain: source docs → shingle ints → sigs → bands.
+    ``prefix`` namespaces the CTEs so two chains (e.g. corpus + batch
+    in the incremental query) can coexist in one statement."""
+    p = prefix
     ints = dedup.duckdb_shingle_ints_sql("text")
     sig = dedup.duckdb_minhash_from_ints_sql("ints")
     rows = dedup.MINHASH_K // dedup.LSH_BANDS
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs".format(
+        "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM {p}sigs".format(
             b=b,
+            p=p,
             cols=" || '|' || ".join(
                 f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
             ),
         )
         for b in range(dedup.LSH_BANDS)
     )
+    sized = (
+        f",\n{p}sized AS ({dedup.duckdb_sized_cte_sql(p + 'bands')})"
+        if with_sized
+        else ""
+    )
     return f"""
-sh_ints AS (SELECT doc_id, {ints} AS ints FROM {source_cte}),
-sigs AS (SELECT doc_id, {sig} AS sig FROM sh_ints),
-bands AS ({band_rows}),
-sized AS ({dedup.duckdb_sized_cte_sql('bands')})"""
+{p}sh_ints AS (SELECT doc_id, {ints} AS ints FROM {source_cte}),
+{p}sigs AS (SELECT doc_id, {sig} AS sig FROM {p}sh_ints),
+{p}bands AS ({band_rows}){sized}"""
 
 
 def _sql_minhash_lsh_pairs() -> str:
@@ -1360,8 +1370,138 @@ SELECT href, count(*) AS n_refs FROM edges GROUP BY href
 """
 
 
+INCR_JACCARD = 0.3  # same verify threshold as ngram_jaccard_pairs
+
+
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dedup: the daily-ingest
+    shape. A new drop (mutated twins of doc_id < N_DUP_DOCS) is
+    checked against the EXISTING corpus via a band equi-join — corpus
+    signatures are computed once and reused (in production they live
+    in a bucketed index table, so the new batch is the only side
+    hashed per run; here the cached bands DF stands in for the index).
+    Candidates dedupe across bands before the exact Jaccard verify —
+    batch-linear, never corpus × batch."""
+    docs = _docs(spark, sf)
+    corpus = docs.select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < N_DUP_DOCS).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(MUTATION_SUFFIX)).alias("text"),
+    )
+    # the persisted index stand-in: hashed once, joined by every batch
+    c_bands = _tracked_cache(
+        dedup.lsh_bands_df(dedup.minhash_signatures(corpus))
+    )
+    b_bands = dedup.lsh_bands_df(dedup.minhash_signatures(batch))
+    cand = (
+        b_bands.select(
+            F.col("doc_id").alias("batch_id"), "band_idx", "band_hash"
+        )
+        .join(
+            c_bands.select(
+                F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sh_c = corpus.select(
+        "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
+    )
+    sh_b = batch.select(
+        "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
+    )
+    jac = round_bin(dedup.jaccard_col(F.col("sh1"), F.col("sh2")), 4)
+    return (
+        cand.join(
+            sh_b.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh1")),
+            "batch_id",
+        )
+        .join(
+            sh_c.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh2")),
+            "corpus_id",
+        )
+        .select("batch_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= INCR_JACCARD)
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    sh = dedup.duckdb_shingles_sql("text")
+    jac = dedup.duckdb_jaccard_sql("b.sh", "c.sh")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text || '{MUTATION_SUFFIX}' AS text
+  FROM documents WHERE doc_id < {N_DUP_DOCS}
+),
+{_sql_bands_cte('corpus', prefix='c_', with_sized=False)},
+{_sql_bands_cte('batch', prefix='b_', with_sized=False)},
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM b_bands b JOIN c_bands c USING (band_idx, band_hash)
+),
+sh_c AS (SELECT doc_id, {sh} AS sh FROM corpus),
+sh_b AS (SELECT doc_id, {sh} AS sh FROM batch)
+SELECT cand.batch_id, cand.corpus_id,
+       {duckdb_round_bin(jac, 4)} AS jaccard
+FROM cand
+JOIN sh_b b ON b.doc_id = cand.batch_id
+JOIN sh_c c ON c.doc_id = cand.corpus_id
+WHERE {duckdb_round_bin(jac, 4)} >= {INCR_JACCARD}
+"""
+
+
+CC_N = 350  # chain construction covers doc_id < CC_N
+CC_CHAIN = 7  # link doc i -> i+1 except every CC_CHAIN-th boundary
+
+
+def _cc_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic chain graph over the corpus ids: edge
+    (i, i+1) for i < CC_N except at every CC_CHAIN-th boundary →
+    path components of CC_CHAIN nodes (diameter CC_CHAIN-1, so the
+    transitive closure is NOT recoverable from any single pair list —
+    the property connected_components exists to solve)."""
+    ids = docs.select(F.col("doc_id").alias("id")).filter(
+        F.col("id") < CC_N
+    )
+    return (
+        ids.filter(F.col("id") % CC_CHAIN != CC_CHAIN - 1)
+        .select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
+        .join(ids.select(F.col("id").alias("id2")), "id2")
+        .select("id1", "id2")
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over a
+    chained pair graph — the keep-one-per-CLUSTER step that pair
+    lists alone cannot express (similarity is not transitive).
+    O(log diameter) label-propagation rounds, each a groupBy-min +
+    two equi-joins (operators/dedup.py connected_components)."""
+    return dedup.connected_components(_cc_edges(_docs(spark, sf)))
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < {CC_N}
+),
+edges AS (
+  SELECT a.id AS id1, a.id + 1 AS id2
+  FROM ids a JOIN ids b ON b.id = a.id + 1
+  WHERE a.id % {CC_CHAIN} != {CC_CHAIN - 1}
+),
+{dedup.duckdb_components_sql("edges")}
+SELECT node, component FROM components
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "table_profile": (q_table_profile, _sql_table_profile()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
     "pii_redaction": (q_pii_redaction, _sql_pii_redaction()),
     "link_graph": (q_link_graph, _sql_link_graph()),
     "clean_html_docs": (q_clean_html_docs, _sql_clean_html_docs()),

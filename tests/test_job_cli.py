@@ -255,6 +255,71 @@ def test_curate_job_embedding_stage(spark):
     assert {"doc_id", "text", "lang"} <= set(rows_back.columns)
 
 
+def test_curate_job_closure_stage(spark):
+    """--closure replaces the pairwise drop with a transitive closure
+    over the unioned pair families. Constructed chain: survivors
+    a < b < c with cos(a,c) and cos(b,c) above the threshold but
+    cos(a,b) below it — the ANN stage emits pairs (a,c) and (b,c)
+    only. The pairwise default drops c but keeps BOTH a and b; the
+    closure groups {a,b,c} into one component and keeps only a."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import curate_job
+
+    d = tempfile.mkdtemp()
+    base_argv = [
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", f"{d}/kept", "--no-sampling",
+    ]
+    with redirect_stdout(_io.StringIO()):
+        assert curate_job.main(base_argv) == 0
+    survivors = sorted(
+        r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()
+    )
+    assert len(survivors) >= 3
+    id_a, id_b, id_c = survivors[0], survivors[1], survivors[2]
+
+    # chain geometry: angle(a,c) = angle(b,c) = θ, angle(a,b) = 2θ
+    # with cos θ ≈ 0.9995 ≥ 0.999 > cos 2θ ≈ 0.998
+    rng = np.random.default_rng(11)
+    vecs = {i: rng.normal(size=64).astype("float64") for i in range(500)}
+    u = vecs[id_a] / np.linalg.norm(vecs[id_a])
+    w = rng.normal(size=64)
+    w -= (w @ u) * u
+    w /= np.linalg.norm(w)
+    theta = np.arccos(0.9995)
+    vecs[id_c] = np.cos(theta) * u + np.sin(theta) * w
+    vecs[id_b] = np.cos(2 * theta) * u + np.sin(2 * theta) * w
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in sorted(vecs)]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb_df.write.mode("overwrite").parquet(f"{d}/emb")
+
+    # pairwise default: c dropped, a AND b both kept (the under-dedup)
+    with redirect_stdout(_io.StringIO()):
+        assert curate_job.main(base_argv + ["--embeddings", f"{d}/emb"]) == 0
+    kept_pairwise = {r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()}
+    assert id_a in kept_pairwise and id_b in kept_pairwise
+    assert id_c not in kept_pairwise
+
+    # closure: {a,b,c} one component, only a survives
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        assert curate_job.main(
+            base_argv + ["--embeddings", f"{d}/emb", "--closure"]
+        ) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    kept_closure = {r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()}
+    assert id_a in kept_closure
+    assert id_b not in kept_closure and id_c not in kept_closure
+    assert report["funnel"]["closure"]["n_dup_components"] >= 1
+    assert report["funnel"]["closure"]["families"] == 2
+    assert kept_closure < kept_pairwise  # strictly stronger dedup
+
+
 def test_write_extracted_bucketed(spark, docs_df, media_df):
     """doc_id-bucketed output table: exactly-once on re-write, and the
     merge anti-join shuffles ONLY the incoming batch — the bucketed
