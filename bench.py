@@ -65,6 +65,10 @@ HEADLINE_QUERIES = (
     "table_profile",
     "pii_redaction",
     "link_graph",
+    # round-4: batch-vs-corpus band-index join, candidates-only verify
+    # (dedup_components is NOT benched: an iterative operator's wall is
+    # per-round job-launch latency at toy scale, not operator cost)
+    "incremental_dedup",
 )
 
 
