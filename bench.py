@@ -69,6 +69,10 @@ HEADLINE_QUERIES = (
     # (dedup_components is NOT benched: an iterative operator's wall is
     # per-round job-launch latency at toy scale, not operator cost)
     "incremental_dedup",
+    # round-4: corpus analytics — boilerplate phrase top-k and
+    # cross-source MinHash overlap matrix
+    "top_ngrams",
+    "source_overlap",
 )
 
 

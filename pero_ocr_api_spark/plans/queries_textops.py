@@ -1513,7 +1513,149 @@ SELECT node, component FROM components
 """
 
 
+# --- corpus-level boilerplate phrase detection -------------------------------
+TOP_NGRAM_N = 3  # word 3-grams
+TOP_NGRAM_K = 20  # report the top-k by document frequency
+
+
+def _ngram_texts_col(text: "F.Column", n: int) -> "F.Column":
+    """Distinct word-n-gram TEXTS per document (the human-readable
+    sibling of dedup.word_ngram_ints_col — boilerplate reports need
+    the phrase itself, not its hash). Empty when the doc has fewer
+    than n tokens."""
+    toks = dedup.tokens_col(text)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+    )
+    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _duckdb_ngram_texts_sql(expr: str, n: int) -> str:
+    toks = dedup.duckdb_tokens_sql(expr)
+    grams = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN list_distinct({grams}) "
+        f"ELSE [] END)"
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level boilerplate phrase detection: the top-k word
+    3-grams by DOCUMENT frequency (distinct grams per doc, so a
+    phrase repeated inside one page counts once — boilerplate is a
+    cross-document phenomenon). The decontamination complement of
+    `benchmark_contamination`: there the n-gram index hunts leaked
+    eval items, here it surfaces the nav/footer phrases a cleaner
+    should strip corpus-wide (C4 dropped its most frequent lines the
+    same way).
+
+    Scale shape: explode distinct grams → groupBy count gets map-side
+    partial aggregation (one shuffle on the gram), and the final
+    top-k is a TakeOrdered over per-partition heaps — no global sort
+    materializes. Ties across the k-boundary are broken by the gram
+    text itself, so the result is deterministic in both engines.
+    Reference analog: pero-ocr-api has no corpus analytics; this is
+    a graft-required training-data addition (SURVEY.md §2)."""
+    docs = _docs(spark, sf)
+    grams = dedup.spread_to_parallelism(docs).select(
+        F.explode(_ngram_texts_col(F.col("text"), TOP_NGRAM_N)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(TOP_NGRAM_K)
+    )
+
+
+def _sql_top_ngrams() -> str:
+    return f"""
+WITH grams AS (
+  SELECT unnest({_duckdb_ngram_texts_sql('text', TOP_NGRAM_N)}) AS gram
+  FROM documents
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+FROM grams GROUP BY gram
+ORDER BY doc_freq DESC, gram ASC
+LIMIT {TOP_NGRAM_K}
+"""
+
+
+# --- cross-source overlap estimation (MinHash similarity matrix) -------------
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise corpus-overlap estimate between sources: one MinHash
+    signature per SOURCE (min over the union of all its docs'
+    shingle hashes — reuses dedup.minhash_signatures with the source
+    as the grouping key), then signature agreement counts per source
+    pair. n_agree/k estimates the shingle-set Jaccard between two
+    crawls/dumps — the standard pre-merge dedup-pressure check before
+    unioning corpora. Output stays integer (n_agree out of
+    MINHASH_K=16): no float crosses the engine boundary.
+
+    Scale shape: the per-source signature is the same explode +
+    groupBy k-min pattern as document MinHash — map-side partial
+    minima, one shuffle keyed by source. The pairwise stage is
+    #sources² but sources are FEW by definition (corpus dumps, not
+    documents); 1000 sources is a 500k-row join of 17-column rows.
+    Spark compares signatures via zip_with inside one projection."""
+    docs = _docs(spark, sf)
+    sigs = dedup.minhash_signatures(docs, id_col="source").select(
+        F.col("source"), F.col("signature")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            agree.cast("long").alias("n_agree"),
+        )
+    )
+
+
+def _sql_source_overlap() -> str:
+    coeffs = dedup._minhash_coeffs(dedup.MINHASH_K)
+    mins = ",\n    ".join(
+        f"min((h * {a} + {b}) % {dedup.MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.MINHASH_K)
+    )
+    return f"""
+WITH ex AS (
+  SELECT source, unnest({dedup.duckdb_shingle_ints_sql('text')}) AS h
+  FROM documents
+),
+sig AS (
+  SELECT source,
+    {mins}
+  FROM ex GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST({agree} AS BIGINT) AS n_agree
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
+    "top_ngrams": (q_top_ngrams, _sql_top_ngrams()),
+    "source_overlap": (q_source_overlap, _sql_source_overlap()),
     "table_profile": (q_table_profile, _sql_table_profile()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
