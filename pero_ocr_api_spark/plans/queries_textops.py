@@ -1606,8 +1606,13 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     documents); 1000 sources is a 500k-row join of 17-column rows.
     Spark compares signatures via zip_with inside one projection."""
     docs = _docs(spark, sf)
-    sigs = dedup.minhash_signatures(docs, id_col="source").select(
-        F.col("source"), F.col("signature")
+    # Cache the tiny signature table (#sources rows) before the
+    # self-join: without the boundary BOTH join sides re-run the full
+    # corpus scan + shingle hashing (the ann_self_pairs lesson).
+    sigs = _tracked_cache(
+        dedup.minhash_signatures(docs, id_col="source").select(
+            F.col("source"), F.col("signature")
+        )
     )
     a = sigs.alias("a")
     b = sigs.alias("b")

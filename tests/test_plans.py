@@ -85,3 +85,26 @@ def test_extract_media_stage_partitioning(spark, docs_df, media_df):
     plan = extracted._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "hashpartitioning(media_ref" in plan
+
+
+def test_top_ngrams_takeordered_with_partials(spark):
+    """Corpus top-k must be a TakeOrdered over per-partition heaps
+    (no global sort materializes 100 TB of gram counts), fed by
+    partial aggregation (map-side combine before the one shuffle)."""
+    plan = _plan(spark, "top_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_source_overlap_scans_corpus_once(spark):
+    """The signature table is cached before the pairwise self-join:
+    both join sides must read the cache, not re-run the corpus scan
+    + shingle hashing (the ann_self_pairs lesson)."""
+    from pero_ocr_api_spark.plans import queries_textops as qt
+
+    try:
+        plan = _plan(spark, "source_overlap")
+        assert plan.count("InMemoryTableScan") >= 2
+        assert "partial_min" in plan  # map-side minima for the signature
+    finally:
+        qt.release_query_caches()
