@@ -213,6 +213,37 @@ def minhash_signatures(
     )
 
 
+def minhash_signature_col(text: Column, k: int = MINHASH_K) -> Column:
+    """Per-ROW MinHash signature expression — the streaming-safe twin
+    of :func:`minhash_signatures` (a streaming DataFrame cannot run
+    the explode+groupBy shape without becoming a streaming
+    aggregation, which blocks any downstream join in append mode).
+    Produces bit-identical values: min over the same shingle-hash
+    multiset, permuted by the same md5-derived coefficients.
+
+    Expression-shape note: the coefficient table is a DATA array
+    iterated by ``transform``, not k unrolled slot expressions — so
+    the shingle+md5 pipeline appears exactly once in the expression
+    tree and CollapseProject cannot duplicate it per slot (the k×
+    recompute that cost the batch path 140 s before it moved to
+    explode+groupBy). Per-row cost is O(shingles × k) integer ops on
+    an already-hashed int array — fine on an ingest stream; corpus
+    scans stay on the groupBy path."""
+    ints = F.transform(shingles_col(text), lambda s: md5_int_col(s, 7))
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _minhash_coeffs(k)
+        ]
+    )
+    return F.transform(
+        coeffs,
+        lambda c: F.array_min(
+            F.transform(ints, lambda v: (v * c["a"] + c["b"]) % MINHASH_PRIME)
+        ),
+    )
+
+
 def duckdb_shingle_ints_sql(expr: str) -> str:
     sh = duckdb_shingles_sql(expr)
     return f"list_transform({sh}, s -> {duckdb_md5_int_sql('s', 7)})"
@@ -236,8 +267,21 @@ def lsh_bands_df(
     k: int = MINHASH_K,
 ) -> DataFrame:
     """Explode a signature into (id, band_idx, band_hash) rows."""
+    return df.select(
+        id_col, F.explode(band_structs_col(sig_col, bands, k)).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_hash")
+
+
+def band_structs_col(
+    sig_col: str = "signature", bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> Column:
+    """Array of (band_idx, band_hash) structs from a signature column
+    — the explode-ready expression behind :func:`lsh_bands_df`,
+    exposed so callers that must CARRY extra columns through the
+    explosion (e.g. a stream keeping ts/text to avoid a stream-stream
+    join-back) can build the same band hashes."""
     rows = k // bands
-    band_structs = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
@@ -249,9 +293,6 @@ def lsh_bands_df(
             )
             for b in range(bands)
         ]
-    )
-    return df.select(id_col, F.explode(band_structs).alias("b")).select(
-        id_col, "b.band_idx", "b.band_hash"
     )
 
 

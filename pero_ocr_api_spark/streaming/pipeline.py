@@ -167,6 +167,83 @@ def stream_near_dedup(
     )
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    input_path: str,
+    corpus: "DataFrame",
+    watermark_delay: str = "10 minutes",
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Streaming batch-vs-corpus near-dedup: the continuous version of
+    the batch ``incremental_dedup`` query (plans/queries_textops.py).
+    Each incoming doc is LSH-banded per row (``minhash_signature_col``
+    — aggregation-free, so the plan stays a chain of projections and
+    stream-STATIC joins, all append-mode legal) and equi-joined
+    against the pre-built corpus band index; candidate pairs dedupe
+    across bands inside the watermark, then an exact Jaccard verify
+    joins the static corpus texts — candidates-only, never
+    corpus × stream.
+
+    Scale shape: the corpus side is hashed ONCE (the caller caches /
+    bucket-stores the index; every micro-batch reuses it); per-doc
+    stream cost is the signature projection + two hash joins against
+    static sides. State is one (doc_id, corpus_id) key per
+    in-watermark candidate — O(candidate-rate × delay), not
+    O(corpus)."""
+    from pero_ocr_api_spark.operators.dedup import (
+        band_structs_col,
+        jaccard_col,
+        minhash_signatures,
+        lsh_bands_df,
+        minhash_signature_col,
+        shingles_col,
+    )
+
+    c_bands = lsh_bands_df(minhash_signatures(corpus.select("doc_id", "text")))
+    c_sh = corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        shingles_col(F.col("text")).alias("sh2"),
+    )
+
+    schema = "doc_id string, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+    )
+    # band explosion CARRIES ts/text (a join-back to the source would
+    # be a stream-stream join; this stays a projection chain)
+    s_bands = (
+        stream.withColumn("signature", minhash_signature_col(F.col("text")))
+        .select(
+            "doc_id", "ts", "text", F.explode(band_structs_col()).alias("b")
+        )
+        .select("doc_id", "ts", "text", "b.band_idx", "b.band_hash")
+    )
+    cand = (
+        s_bands.join(
+            c_bands.select(
+                F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_id", "corpus_id", "ts", "text")
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["doc_id", "corpus_id"])
+    )
+    jac = jaccard_col(shingles_col(F.col("text")), F.col("sh2"))
+    return (
+        cand.join(c_sh, "corpus_id")
+        .select(
+            "doc_id",
+            "corpus_id",
+            "ts",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 # --- U6 as a custom stateful operator (applyInPandasWithState) -------------
 
 PAGE_EVENT_SCHEMA = "page_id string, state string, ts timestamp"
