@@ -202,3 +202,82 @@ def compact_extracted_bucketed(
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     return files_before, len(spark.table(table).inputFiles())
+
+
+def write_band_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    path: str | None = None,
+    buckets: int = 16,
+) -> int:
+    """Build / incrementally extend the PERSISTENT LSH band index —
+    the amortization vehicle the incremental dedup paths assume
+    (`incremental_dedup`, `streaming.stream_incremental_dedup`): the
+    corpus is minhashed ONCE at index-build time, and every daily
+    batch or stream micro-batch equi-joins the stored (band_idx,
+    band_hash) rows instead of re-hashing 10^12 documents.
+
+    The table is bucketed by the JOIN KEY (band_idx, band_hash), so
+    a candidate lookup scans it already hash-partitioned: with
+    bucketed scans on (the default) only the incoming batch — the
+    small side — shuffles. Plan-asserted in tests: broadcast
+    disabled, the candidate join compiles to exactly ONE Exchange.
+
+    Append semantics mirror :func:`write_extracted_bucketed`:
+    already-indexed doc_ids are anti-joined away, so re-running the
+    index job after a partial failure never duplicates band rows
+    (Iceberg MERGE analog). Returns the number of NEW docs indexed."""
+    from pero_ocr_api_spark.operators.dedup import (
+        lsh_bands_df,
+        minhash_signatures,
+    )
+
+    docs = docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+    if spark.catalog.tableExists(table):
+        done = spark.table(table).select("doc_id").distinct()
+        docs = docs.join(done, "doc_id", "left_anti")
+    docs = docs.cache()
+    n = docs.count()
+    if n:
+        bands = lsh_bands_df(minhash_signatures(docs))
+        writer = (
+            # align writer tasks with the bucket layout (same
+            # rationale as write_extracted_bucketed: an unaligned
+            # append emits tasks x buckets files)
+            bands.repartition(buckets, "band_idx", "band_hash")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, "band_idx", "band_hash")
+            .sortBy("band_hash")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table)
+    docs.unpersist()
+    return n
+
+
+def band_index_candidates(
+    spark: SparkSession, batch: DataFrame, table: str
+) -> DataFrame:
+    """Candidate (batch_id, corpus_id) pairs for a new batch against
+    the stored band index: hash ONLY the batch, equi-join the
+    bucketed index on (band_idx, band_hash), dedupe across bands.
+    The Jaccard / cosine verify stays with the caller (it needs the
+    text, which the index deliberately does not store)."""
+    from pero_ocr_api_spark.operators.dedup import (
+        lsh_bands_df,
+        minhash_signatures,
+    )
+
+    b_bands = lsh_bands_df(minhash_signatures(batch.select("doc_id", "text")))
+    idx = spark.table(table).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    return (
+        b_bands.select(F.col("doc_id").alias("batch_id"), "band_idx", "band_hash")
+        .join(idx, ["band_idx", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
