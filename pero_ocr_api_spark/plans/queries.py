@@ -18,3 +18,10 @@ try:  # text/dedup/similarity operators (added incrementally)
     QUERIES.update(TEXTOPS_QUERIES)
 except ImportError:
     pass
+
+try:  # event-log analytics (sessionization / funnel / as-of attribution)
+    from pero_ocr_api_spark.plans.queries_events import EVENTS_QUERIES
+
+    QUERIES.update(EVENTS_QUERIES)
+except ImportError:
+    pass
