@@ -1,0 +1,140 @@
+"""Corpus bigram language-model quality scoring (CCNet-style filter).
+
+Large-scale curation pipelines score each document by how probable its
+text is under a language model trained on the corpus itself (CCNet
+trains KenLM on Wikipedia; Gopher/Dolma keep the same shape) and drop
+the tails. This module is the fully-distributed Spark form with an
+exact DuckDB twin:
+
+* model = corpus bigram + unigram counts (two hash aggregates with
+  map-side partials — the "training" is one scan);
+* score(doc) = Σ over the doc's bigram occurrences of
+  ln((c(w1 w2) + 1) / (c(w1) + V)) — add-one smoothing over vocabulary
+  size V, the textbook estimator;
+* each term is snapped onto the 2^-16 grid (similarity.quant16) BEFORE
+  summation, so the per-doc sum is a sum of exactly-representable
+  doubles — identical in any accumulation order, hence hash-equal
+  across engines (the house rule from functions/portable.py: never
+  emit an order-sensitive float sum). Callers divide sum_lp by
+  n_bigrams themselves for an average / perplexity.
+
+Scale shape (100 TB): the model is corpus-sized, so it is NEVER
+broadcast — scoring joins the exploded bigram stream to the bigram
+counts by a window over the bigram key (count(*) OVER (PARTITION BY
+gram) — the self-model case needs no second scan at all) and to the
+unigram counts by an equi-join on the first token. Head tokens ("the",
+"of") make both keys skewed; they are single-row-per-key on the model
+side, exactly the shape AQE's skew-join splitting handles. Nothing is
+collected; vocabulary size V is a 1-row aggregate cross-joined in.
+
+Reference analog: the confidence filter at processing_client/
+run_client.py:279-302 gates OCR lines on a model score; this is the
+same gate at corpus scale with the corpus itself as the model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.operators.similarity import (
+    duckdb_quant16_sql,
+    quant16,
+)
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens_col(col: Column) -> Column:
+    """Engine-portable tokenizer: lowercase alphanumeric runs."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
+
+
+def bigrams_col(toks: Column) -> Column:
+    """Adjacent-pair grams of a token array (length n-1; callers must
+    exclude arrays shorter than 2 — ANSI slice rejects negative
+    lengths)."""
+    return F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-likelihood under the
+    corpus's own bigram model.
+
+    Returns (id_col, n_bigrams, novel_bigrams, sum_lp): occurrence
+    count, bigrams whose corpus count is 1 (unique to this doc), and
+    the exact-grid sum of per-bigram log probabilities.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    voc = uni.agg(F.count("*").alias("v"))
+    bg = toks.select(
+        F.col(id_col), F.explode(bigrams_col(F.col("t"))).alias("gram")
+    ).withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+    c2 = F.count("*").over(Window.partitionBy("gram"))
+    scored = (
+        bg.withColumn("c2", c2)
+        .join(uni, bg.w1 == uni.tok)
+        .crossJoin(voc)
+        .select(
+            F.col(id_col),
+            F.col("c2"),
+            quant16(
+                F.log(F.col("c2") + F.lit(1.0))
+                - F.log(F.col("c1") + F.col("v") + F.lit(0.0))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum((F.col("c2") == 1).cast("long")).alias("novel_bigrams"),
+        F.sum("lp").alias("sum_lp"),
+    )
+
+
+def duckdb_bigram_lm_sql(docs_cte: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`bigram_lm_scores` over a (id, text) CTE or
+    table. Bit-identical: same tokenizer regex, same integer counts,
+    same quant16 grid per term, exact sum."""
+    lp = duckdb_quant16_sql("(ln(c2 + 1.0) - ln(c1 + v + 0.0))")
+    return f"""
+WITH lm_toks AS (
+  SELECT {id_col}, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM {docs_cte}
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= 2
+), lm_uni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(t) AS tok FROM lm_toks) GROUP BY tok
+), lm_voc AS (
+  SELECT count(*) AS v FROM lm_uni
+), lm_bg AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS gram
+  FROM lm_toks
+), lm_scored AS (
+  SELECT {id_col},
+         count(*) OVER (PARTITION BY gram) AS c2,
+         split_part(gram, ' ', 1) AS w1
+  FROM lm_bg
+)
+SELECT {id_col},
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_bigrams,
+       sum({lp}) AS sum_lp
+FROM lm_scored JOIN lm_uni ON w1 = tok CROSS JOIN lm_voc
+GROUP BY {id_col}
+"""

@@ -1142,6 +1142,24 @@ FROM sized GROUP BY source
 """
 
 
+# --- corpus bigram LM quality scoring (CCNet-style) ---------------------------
+def q_lm_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-likelihood under the
+    corpus's own bigram model (operators/lm.py) — the CCNet/KenLM
+    quality-filter shape with the corpus as the model. sum_lp is an
+    exact 2^-16-grid sum (order-independent); callers derive the
+    perplexity proxy as exp(-sum_lp / n_bigrams)."""
+    from pero_ocr_api_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf))
+
+
+def _sql_lm_quality_scores() -> str:
+    from pero_ocr_api_spark.operators.lm import duckdb_bigram_lm_sql
+
+    return duckdb_bigram_lm_sql("documents")
+
+
 # --- deterministic stratified sampling (training-mix weighting) ---------------
 # per-lang keep rates in integer percent — mixture weighting a
 # pretraining pipeline applies before tokenization
@@ -1697,6 +1715,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
         _sql_benchmark_contamination(),
     ),
     "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
+    "lm_quality_scores": (q_lm_quality_scores, _sql_lm_quality_scores()),
     "stratified_sample_counts": (
         q_stratified_sample_counts,
         _sql_stratified_sample_counts(),

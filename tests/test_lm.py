@@ -1,0 +1,51 @@
+"""Unit tests for the corpus bigram LM scorer (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pero_ocr_api_spark.operators.lm import bigram_lm_scores
+
+
+def _q16(x: float) -> float:
+    return math.floor(x * 65536.0 + 0.5) / 65536.0
+
+
+def test_bigram_lm_hand_computed(spark):
+    # corpus: unigrams a:3 b:2 c:1 -> V=3
+    # bigrams: "a b" x2, "b a" x1, "b c" x1
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "A b, c!")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["novel_bigrams"], r["sum_lp"])
+        for r in bigram_lm_scores(docs).collect()
+    }
+    # doc1: "a b" (c2=2, c1(a)=3), "b a" (c2=1, c1(b)=2)
+    lp1 = _q16(math.log(3.0) - math.log(6.0)) + _q16(
+        math.log(2.0) - math.log(5.0)
+    )
+    # doc2: "a b" (c2=2, c1(a)=3), "b c" (c2=1, c1(b)=2) — same values
+    assert out[1] == (2, 1, lp1)
+    assert out[2] == (2, 1, lp1)
+
+
+def test_bigram_lm_short_docs_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    rows = bigram_lm_scores(docs).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+
+
+def test_bigram_lm_tokenizer_case_and_punct(spark):
+    # tokenizer folds case and splits on non-alphanumerics, so these
+    # two docs are the same token stream -> identical scores
+    docs = spark.createDataFrame(
+        [(1, "Hello, WORLD 42"), (2, "hello world-42")],
+        "doc_id long, text string",
+    )
+    rows = bigram_lm_scores(docs).collect()
+    vals = {r["doc_id"]: (r["n_bigrams"], r["sum_lp"]) for r in rows}
+    assert vals[1] == vals[2]
