@@ -73,6 +73,11 @@ HEADLINE_QUERIES = (
     # cross-source MinHash overlap matrix
     "top_ngrams",
     "source_overlap",
+    # round-4: event-log analytics (windowed sessionizer, as-of join)
+    # and the corpus bigram LM quality filter
+    "user_sessions",
+    "last_touch_attribution",
+    "lm_quality_scores",
 )
 
 

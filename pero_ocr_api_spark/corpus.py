@@ -257,6 +257,22 @@ def doc_record(seed: int, idx: int) -> tuple[dict, list[dict]]:
                 "truth_text": "\n".join(hex_lines),
             }
         )
+    if idx == 12:
+        # Flate + PNG-Up predictor content stream (/DecodeParms
+        # /Predictor 12) — the row-predicted layout modern writers emit
+        ref = f"m{idx:09d}_pdfpred"
+        pred_lines = ["predicted content stream", "png up rows"]
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "application/pdf",
+                "media_bytes": pdf.encode_text_pdf_pred(pred_lines),
+                "truth_text": "\n".join(pred_lines),
+            }
+        )
     # physical order shuffled; offset carries reading order (FIXTURES §1)
     order = rng.permutation(len(spans))
     spans = [spans[i] for i in order]

@@ -21,6 +21,10 @@ Supported subset (deliberately small, honestly bounded):
   ``/ASCII85Decode``, and ``/RunLengthDecode`` streams, including
   filter cascades (``[/ASCIIHexDecode /FlateDecode]``) applied in
   array order;
+* ``/DecodeParms`` predictors on Flate streams: PNG predictors 10-15
+  (None/Sub/Up/Average/Paeth per row, the layout every modern writer
+  uses for XRef streams and many use for content) and TIFF predictor
+  2 at 8 bits per component;
 * text operators ``BT/ET``, ``Tj``, ``TJ``, ``'``, ``"``, with line
   structure from ``Td``/``TD``/``T*``; literal strings with the full
   escape set (octal, nesting, line continuations) and hex strings.
@@ -35,7 +39,8 @@ extractor is exercised against independently-constructed bytes, and
 readable by any standard viewer (the fixture is a real PDF, not a
 private format). :func:`encode_text_pdf_hex` (ASCIIHex, optionally
 cascaded with Flate), :func:`encode_text_pdf_a85` (ASCII85, optionally
-cascaded), :func:`encode_text_pdf_rle` (RunLength), and
+cascaded), :func:`encode_text_pdf_rle` (RunLength),
+:func:`encode_text_pdf_pred` (Flate + PNG-Up predictor 12), and
 :func:`encode_text_pdf_objstm` (PDF 1.5 ObjStm + XRef stream) write
 the widened-subset fixtures.
 """
@@ -198,10 +203,14 @@ def _rle_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _classic_filtered_pdf(filt: bytes, payload: bytes) -> bytes:
+def _classic_filtered_pdf(
+    filt: bytes, payload: bytes, parms: bytes | None = None
+) -> bytes:
     """Assemble the standard 5-object single-page PDF 1.4 around an
-    already-encoded content payload with the given /Filter value —
-    shared by the widened-subset fixture writers."""
+    already-encoded content payload with the given /Filter value (and
+    optional /DecodeParms dict) — shared by the widened-subset fixture
+    writers."""
+    parms_part = b" /DecodeParms %s" % parms if parms else b""
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -209,8 +218,8 @@ def _classic_filtered_pdf(filt: bytes, payload: bytes) -> bytes:
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
             f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
         ).encode(),
-        b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
-        % (len(payload), filt, payload),
+        b"<< /Length %d /Filter %s%s >>\nstream\n%s\nendstream"
+        % (len(payload), filt, parms_part, payload),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
@@ -243,6 +252,31 @@ def encode_text_pdf_rle(lines: list[str]) -> bytes:
     """One-page PDF 1.4 whose content stream is /RunLengthDecode."""
     return _classic_filtered_pdf(
         b"/RunLengthDecode", _rle_encode(_content_ops(lines))
+    )
+
+
+def _png_up_predict(data: bytes, columns: int) -> bytes:
+    """Forward PNG Up (filter type 2) rows — the encoder side of the
+    predictor-12 layout modern PDF writers emit."""
+    out = bytearray()
+    prev = bytes(columns)
+    for start in range(0, len(data), columns):
+        row = data[start : start + columns]
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def encode_text_pdf_pred(lines: list[str], columns: int = 24) -> bytes:
+    """One-page PDF 1.4 whose Flate content stream carries
+    ``/DecodeParms << /Predictor 12 /Columns N >>`` (PNG Up rows)."""
+    ops = _content_ops(lines)
+    payload = zlib.compress(_png_up_predict(ops, columns), 9)
+    return _classic_filtered_pdf(
+        b"/FlateDecode",
+        payload,
+        b"<< /Predictor 12 /Columns %d >>" % columns,
     )
 
 
@@ -449,13 +483,130 @@ def _run_length_decode(raw: bytes) -> bytes:
     raise PdfError("RunLength: missing EOD marker")
 
 
+_PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>|null)", re.S)
+_PARM_INT_RES = {
+    key: re.compile(rb"/" + key.encode() + rb"\s+(\d+)\b")
+    for key in ("Predictor", "Columns", "Colors", "BitsPerComponent")
+}
+_PARM_DEFAULTS = {
+    "Predictor": 1,
+    "Columns": 1,
+    "Colors": 1,
+    "BitsPerComponent": 8,
+}
+
+
+def _parms_list(dict_text: bytes, n_filters: int) -> list[dict[str, int]]:
+    """Per-filter /DecodeParms (or /DP) dicts aligned with the filter
+    chain; missing entries / ``null`` get the spec defaults."""
+
+    def parse(d: bytes | None) -> dict[str, int]:
+        out = dict(_PARM_DEFAULTS)
+        if d:
+            for key, rx in _PARM_INT_RES.items():
+                m = rx.search(d)
+                if m:
+                    out[key] = int(m.group(1))
+        return out
+
+    m = _PARMS_RE.search(dict_text)
+    if not m:
+        return [parse(None)] * n_filters
+    val = m.group(1)
+    if val.startswith(b"["):
+        entries = re.findall(rb"<<.*?>>|null", val[1:-1], re.S)
+        dicts = [None if e == b"null" else e for e in entries]
+        dicts += [None] * (n_filters - len(dicts))
+        return [parse(d) for d in dicts[:n_filters]]
+    return [parse(val if val != b"null" else None)] + [parse(None)] * (
+        n_filters - 1
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _row_geometry(parms: dict[str, int]) -> tuple[int, int]:
+    colors, bpc = parms["Colors"], parms["BitsPerComponent"]
+    rowlen = (parms["Columns"] * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    return rowlen, bpp
+
+
+def _png_unpredict(data: bytes, parms: dict[str, int]) -> bytes:
+    """Reverse PNG row predictors (RFC 2083 §6): each row is a filter
+    type byte + predicted bytes; a short final row is accepted (PDF
+    content lengths are rarely row-aligned)."""
+    rowlen, bpp = _row_geometry(parms)
+    out = bytearray()
+    prev = bytes(rowlen)
+    i = 0
+    while i < len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + len(row)
+        if ft > 4:
+            raise PdfError(f"PNG predictor: bad filter type {ft}")
+        for j in range(len(row)):
+            a = row[j - bpp] if j >= bpp else 0
+            b = prev[j]
+            c = prev[j - bpp] if j >= bpp else 0
+            if ft == 1:
+                row[j] = (row[j] + a) & 0xFF
+            elif ft == 2:
+                row[j] = (row[j] + b) & 0xFF
+            elif ft == 3:
+                row[j] = (row[j] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                row[j] = (row[j] + _paeth(a, b, c)) & 0xFF
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, parms: dict[str, int]) -> bytes:
+    """Reverse TIFF predictor 2 (horizontal byte differencing) — only
+    the 8-bit-per-component case is in the subset."""
+    if parms["BitsPerComponent"] != 8:
+        raise PdfError("TIFF predictor: only 8 bits/component supported")
+    rowlen, bpp = _row_geometry(parms)
+    out = bytearray(data)
+    for start in range(0, len(out), rowlen):
+        end = min(start + rowlen, len(out))
+        for j in range(start + bpp, end):
+            out[j] = (out[j] + out[j - bpp]) & 0xFF
+    return bytes(out)
+
+
+def _unpredict(data: bytes, parms: dict[str, int]) -> bytes:
+    pred = parms["Predictor"]
+    if pred == 1:
+        return data
+    if pred == 2:
+        return _tiff_unpredict(data, parms)
+    if 10 <= pred <= 15:
+        return _png_unpredict(data, parms)
+    raise PdfError(f"unsupported /Predictor {pred}")
+
+
 def _decode_stream(dict_text: bytes, raw: bytes) -> bytes:
-    for f in _filters(dict_text):
+    filters = _filters(dict_text)
+    parms = _parms_list(dict_text, len(filters))
+    for f, p in zip(filters, parms):
         if f == b"FlateDecode":
             try:
                 raw = zlib.decompress(raw)
             except zlib.error as exc:
                 raise PdfError(f"bad Flate stream: {exc}") from exc
+            raw = _unpredict(raw, p)
+        elif p["Predictor"] != 1:
+            # the spec attaches predictors to LZW/Flate only
+            raise PdfError(f"/Predictor on unsupported filter /{f.decode()}")
         elif f == b"ASCIIHexDecode":
             raw = _ascii_hex_decode(raw)
         elif f == b"ASCII85Decode":

@@ -100,6 +100,49 @@ def stream_event_window_counts(
     )
 
 
+def stream_user_sessions(
+    spark: SparkSession,
+    input_path: str,
+    gap: str = "6 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming-native sessionization: Spark's ``session_window``
+    merges events within the inactivity gap per user as state, emitting
+    a session when the watermark passes its end — the incremental form
+    of plans/queries_events.q_user_sessions (the batch gaps-and-islands
+    plan). State per user is ONE open session (start/end/counters),
+    evicted on emit — O(active users), not O(event history).
+
+    Boundary semantics: ``session_window`` closes a session when the
+    next event is >= gap after the previous, the batch query when it is
+    > gap; events exactly ON the gap boundary differ. Real event-time
+    data (microsecond stamps) never lands there; parity is asserted on
+    the synthetic corpus in tests.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     input_path: str,

@@ -330,3 +330,96 @@ def test_new_filter_kernel_integration():
         res = process_media(blob, "application/pdf", "ref.pdf", {})
         assert res.state == "PROCESSED"
         assert res.confidences and min(res.confidences) == 1.0
+
+
+# ---------------------------------------------------------- predictors ---
+
+
+def test_predictor12_roundtrip():
+    lines = ["predicted line one", "and two (with) specials \\ ok"]
+    b = pdf.encode_text_pdf_pred(lines)
+    assert b"/DecodeParms" in b and b"/Predictor 12" in b
+    assert pdf.extract_text(b) == lines
+
+
+def test_predictor12_partial_last_row():
+    # content length deliberately not a multiple of Columns
+    lines = ["x" * 7]
+    assert pdf.extract_text(pdf.encode_text_pdf_pred(lines, columns=64)) == lines
+
+
+def test_predictor12_kernel_integration():
+    lines = ["kernel sees predicted text"]
+    res = process_media(
+        pdf.encode_text_pdf_pred(lines), "application/pdf", "mp"
+    )
+    assert res.state == "PROCESSED"
+    assert res.text == lines[0]
+
+
+def _png_rows(rows: list[tuple[int, bytes]]) -> bytes:
+    return b"".join(bytes([ft]) + body for ft, body in rows)
+
+
+def test_png_predictors_all_filter_types():
+    parms = {"Predictor": 15, "Columns": 4, "Colors": 1, "BitsPerComponent": 8}
+    # hand-built: row1 None, row2 Sub, row3 Up, row4 Average, row5 Paeth
+    r1 = bytes([10, 20, 30, 40])
+    data = _png_rows(
+        [
+            (0, r1),
+            (1, bytes([5, 5, 5, 5])),  # Sub: cumulative 5,10,15,20
+            (2, bytes([1, 1, 1, 1])),  # Up: prev row + 1
+            (3, bytes([0, 0, 0, 0])),  # Average of left and up
+            (4, bytes([0, 0, 0, 0])),  # Paeth carries predictors
+        ]
+    )
+    out = pdf._png_unpredict(data, parms)
+    assert out[:4] == r1
+    assert out[4:8] == bytes([5, 10, 15, 20])
+    assert out[8:12] == bytes([6, 11, 16, 21])
+    # Average row: x = 0 + (a + b)//2 with a = left (running), b = up
+    exp_avg = bytearray()
+    prev = bytes([6, 11, 16, 21])
+    a = 0
+    for j in range(4):
+        v = (0 + (a + prev[j]) // 2) & 0xFF
+        exp_avg.append(v)
+        a = v
+    assert out[12:16] == bytes(exp_avg)
+    assert len(out) == 20
+
+
+def test_tiff_predictor2():
+    parms = {"Predictor": 2, "Columns": 4, "Colors": 1, "BitsPerComponent": 8}
+    # two rows of deltas; each row accumulates independently
+    data = bytes([10, 1, 1, 1, 20, 2, 2, 2])
+    out = pdf._tiff_unpredict(data, parms)
+    assert out == bytes([10, 11, 12, 13, 20, 22, 24, 26])
+
+
+def test_unsupported_predictor_raises():
+    b = pdf.encode_text_pdf_pred(["x"])
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(b.replace(b"/Predictor 12", b"/Predictor 3"))
+
+
+def test_predictor_on_non_flate_filter_rejected():
+    lines = ["x"]
+    b = pdf.encode_text_pdf_hex(lines)
+    bad = b.replace(
+        b"/Filter /ASCIIHexDecode",
+        b"/Filter /ASCIIHexDecode /DecodeParms << /Predictor 12 /Columns 8 >>",
+    )
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(bad)
+
+
+def test_parms_array_aligns_with_filter_array():
+    parms = pdf._parms_list(
+        b"<< /Filter [/ASCIIHexDecode /FlateDecode] "
+        b"/DecodeParms [null << /Predictor 12 /Columns 24 >>] >>",
+        2,
+    )
+    assert parms[0]["Predictor"] == 1
+    assert parms[1]["Predictor"] == 12 and parms[1]["Columns"] == 24

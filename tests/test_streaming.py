@@ -68,3 +68,53 @@ def test_stream_clean_text_rows(spark, docs_df, staged, corpus_pandas):
     assert got.count() == expected
     # boilerplate is stripped in-flight
     assert got.filter(F.col("text").contains("var tracker")).count() == 0
+
+
+def test_stream_user_sessions_matches_batch(spark):
+    """session_window sessionization must agree with the batch
+    gaps-and-islands query on per-user session counts and event
+    totals (complete mode so end-of-stream sessions are emitted)."""
+    import shutil
+
+    from pero_ocr_api_spark.plans.queries_events import q_user_sessions
+    from pero_ocr_api_spark.streaming.pipeline import stream_user_sessions
+
+    sf = "/root/testdata/sf0.001"
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    spark.read.parquet(f"{sf}/events.parquet").repartition(5).write.parquet(
+        f"{d}/events.parquet"
+    )
+    # the staged files replay in arbitrary (non-event-time) order, so
+    # the watermark must span the whole corpus or replayed-late events
+    # are dropped; a live deployment ingests roughly in order and runs
+    # the default 1 h delay
+    q = (
+        stream_user_sessions(spark, f"{d}/events.parquet", watermark_delay="31 days")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sessions_stream")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("n_purchases").alias("total_purchases"),
+        )
+    )
+    exp = (
+        q_user_sessions(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("n_purchases").alias("total_purchases"),
+        )
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    shutil.rmtree(d, ignore_errors=True)
