@@ -273,6 +273,22 @@ def doc_record(seed: int, idx: int) -> tuple[dict, list[dict]]:
                 "truth_text": "\n".join(pred_lines),
             }
         )
+    if idx == 13:
+        # /LZWDecode content stream (EarlyChange=1) — the classic
+        # pre-Flate compression older writers emit
+        ref = f"m{idx:09d}_pdflzw"
+        lzw_lines = ["lzw compressed content", "early change width"]
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "application/pdf",
+                "media_bytes": pdf.encode_text_pdf_lzw(lzw_lines),
+                "truth_text": "\n".join(lzw_lines),
+            }
+        )
     # physical order shuffled; offset carries reading order (FIXTURES §1)
     order = rng.permutation(len(spans))
     spans = [spans[i] for i in order]

@@ -17,7 +17,8 @@ Supported subset (deliberately small, honestly bounded):
   always stays a classic stream object; ObjStm bodies are decoded and
   structurally validated (N/First header), XRef streams are
   recognized and skipped;
-* uncompressed, ``/FlateDecode``, ``/ASCIIHexDecode``,
+* uncompressed, ``/FlateDecode``, ``/LZWDecode`` (variable-width
+  9-12 bit codes, EarlyChange honored), ``/ASCIIHexDecode``,
   ``/ASCII85Decode``, and ``/RunLengthDecode`` streams, including
   filter cascades (``[/ASCIIHexDecode /FlateDecode]``) applied in
   array order;
@@ -29,9 +30,9 @@ Supported subset (deliberately small, honestly bounded):
   structure from ``Td``/``TD``/``T*``; literal strings with the full
   escape set (octal, nesting, line continuations) and hex strings.
 
-Anything outside the subset (encrypted files, exotic filters, CID
-font encodings) raises :class:`PdfError`, which the kernel maps to
-``INVALID_FILE`` — one bad file never kills a task.
+Anything outside the subset (encrypted files, DCT/JBIG2/CCITT image
+filters, CID font encodings) raises :class:`PdfError`, which the
+kernel maps to ``INVALID_FILE`` — one bad file never kills a task.
 
 :func:`encode_text_pdf` writes a valid single-page PDF 1.4 with a
 Flate-compressed content stream — used by the synthetic corpus so the
@@ -40,6 +41,7 @@ readable by any standard viewer (the fixture is a real PDF, not a
 private format). :func:`encode_text_pdf_hex` (ASCIIHex, optionally
 cascaded with Flate), :func:`encode_text_pdf_a85` (ASCII85, optionally
 cascaded), :func:`encode_text_pdf_rle` (RunLength),
+:func:`encode_text_pdf_lzw` (LZW),
 :func:`encode_text_pdf_pred` (Flate + PNG-Up predictor 12), and
 :func:`encode_text_pdf_objstm` (PDF 1.5 ObjStm + XRef stream) write
 the widened-subset fixtures.
@@ -268,6 +270,12 @@ def _png_up_predict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def encode_text_pdf_lzw(lines: list[str]) -> bytes:
+    """One-page PDF 1.4 whose content stream is /LZWDecode
+    (EarlyChange=1, the default every real writer uses)."""
+    return _classic_filtered_pdf(b"/LZWDecode", _lzw_encode(_content_ops(lines)))
+
+
 def encode_text_pdf_pred(lines: list[str], columns: int = 24) -> bytes:
     """One-page PDF 1.4 whose Flate content stream carries
     ``/DecodeParms << /Predictor 12 /Columns N >>`` (PNG Up rows)."""
@@ -460,6 +468,98 @@ def _ascii85_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (spec 7.4.4 = TIFF LZW): variable-width codes
+    9→12 bits packed MSB-first, 256 = clear-table, 257 = EOD.
+    ``early`` is /DecodeParms /EarlyChange (default 1: the code width
+    grows one code earlier than strictly necessary — what every real
+    writer emits)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise PdfError(f"LZW: code {code} out of range")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # EarlyChange=1 → grow at table size 2^w - 1 (decoder lags
+            # the encoder's table by one, compensating its 2^w trigger)
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    raise PdfError("LZW: missing EOD marker")
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """LZW encoder (EarlyChange=1) for the fixture writer — emits
+    clear-table / EOD markers and grows code width in lockstep with
+    :func:`_lzw_decode`."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        if w + ch in table:
+            w += ch
+            continue
+        emit(table[w], width)
+        table[w + ch] = next_code
+        next_code += 1
+        # in-loop the encoder's table is one entry AHEAD of the
+        # decoder's at the same stream position, so EarlyChange=1
+        # triggers at 2^w here vs 2^w - 1 on the decoder
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4095:
+            emit(256, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        w = ch
+    if w:
+        emit(table[w], width)
+        # final flush adds no entry — encoder and decoder tables are
+        # level, so the EOD width uses the decoder-side trigger
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _run_length_decode(raw: bytes) -> bytes:
     """PDF RunLengthDecode: length byte L<128 → copy next L+1 bytes;
     L>128 → repeat next byte 257-L times; L=128 EOD (required)."""
@@ -486,13 +586,20 @@ def _run_length_decode(raw: bytes) -> bytes:
 _PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>|null)", re.S)
 _PARM_INT_RES = {
     key: re.compile(rb"/" + key.encode() + rb"\s+(\d+)\b")
-    for key in ("Predictor", "Columns", "Colors", "BitsPerComponent")
+    for key in (
+        "Predictor",
+        "Columns",
+        "Colors",
+        "BitsPerComponent",
+        "EarlyChange",
+    )
 }
 _PARM_DEFAULTS = {
     "Predictor": 1,
     "Columns": 1,
     "Colors": 1,
     "BitsPerComponent": 8,
+    "EarlyChange": 1,
 }
 
 
@@ -604,6 +711,8 @@ def _decode_stream(dict_text: bytes, raw: bytes) -> bytes:
             except zlib.error as exc:
                 raise PdfError(f"bad Flate stream: {exc}") from exc
             raw = _unpredict(raw, p)
+        elif f == b"LZWDecode":
+            raw = _unpredict(_lzw_decode(raw, early=p["EarlyChange"]), p)
         elif p["Predictor"] != 1:
             # the spec attaches predictors to LZW/Flate only
             raise PdfError(f"/Predictor on unsupported filter /{f.decode()}")

@@ -61,7 +61,7 @@ def test_uncompressed_stream_and_tj_array():
         b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 5 >>\n"
         b"stream\nAAAAA\nendstream\nendobj\n",  # bad zlib data
         b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length 2 >>\n"
-        b"stream\nAA\nendstream\nendobj\n",  # unsupported filter
+        b"stream\nAA\nendstream\nendobj\n",  # truncated LZW (no EOD)
         b"%PDF-1.4\n/Encrypt << >>\n1 0 obj\n<< /Length 2 >>\n"
         b"stream\nBT\nendstream\nendobj\n",  # encrypted
     ],
@@ -423,3 +423,50 @@ def test_parms_array_aligns_with_filter_array():
     )
     assert parms[0]["Predictor"] == 1
     assert parms[1]["Predictor"] == 12 and parms[1]["Columns"] == 24
+
+
+# ----------------------------------------------------------------- LZW ---
+
+
+def test_lzw_bit_packing_pinned():
+    # codes 256(clear), 65, 66, 257(EOD) at 9 bits, MSB-first
+    assert pdf._lzw_encode(b"AB") == bytes([0x80, 0x10, 0x48, 0x50, 0x10])
+    assert pdf._lzw_decode(bytes([0x80, 0x10, 0x48, 0x50, 0x10])) == b"AB"
+
+
+def test_lzw_roundtrip_width_boundaries():
+    import random
+
+    rng = random.Random(7)
+    for n in (300, 1500, 5000, 120000):  # crosses 9->10->11->12 + resets
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert pdf._lzw_decode(pdf._lzw_encode(data)) == data
+        rep = (b"abcabd" * (n // 6 + 1))[:n]
+        assert pdf._lzw_decode(pdf._lzw_encode(rep)) == rep
+
+
+def test_lzw_missing_eod_raises():
+    good = pdf._lzw_encode(b"hello world")
+    with pytest.raises(pdf.PdfError):
+        pdf._lzw_decode(good[:-2])
+
+
+def test_lzw_pdf_roundtrip():
+    lines = ["lzw content stream", "with (escapes) \\ too"]
+    b = pdf.encode_text_pdf_lzw(lines)
+    assert b"/LZWDecode" in b
+    assert pdf.extract_text(b) == lines
+
+
+def test_lzw_kernel_integration():
+    lines = ["kernel decodes lzw"]
+    res = process_media(pdf.encode_text_pdf_lzw(lines), "application/pdf", "ml")
+    assert res.state == "PROCESSED"
+    assert res.text == lines[0]
+
+
+def test_lzw_earlychange_parm_parsed():
+    parms = pdf._parms_list(
+        b"<< /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>", 1
+    )
+    assert parms[0]["EarlyChange"] == 0
