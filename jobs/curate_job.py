@@ -8,6 +8,12 @@ cheap-filter → exact-verify order:
                        (`training_filter_pipeline` predicates);
 2. repetition gate   — Gopher-style duplicate-token / duplicate-3-gram
                        fractions (integer cross-multiplications);
+2b. LM quality gate  — (with --lm-tail-pct) CCNet-style perplexity
+                       filter: score every survivor under the
+                       survivors' own bigram model
+                       (operators/lm.bigram_lm_scores), drop the worst
+                       P percent by average log-probability (cutoff =
+                       one distributed percentile sketch, reported);
 3. exact dedup       — md5 fingerprint, keep lowest doc_id;
 4. near dedup        — MinHash → banded LSH (skew-capped buckets) →
                        n-gram Jaccard verify ≥ threshold, keep min id;
@@ -83,6 +89,14 @@ def parse_args(argv):
         "A<B<C keeps both A and the un-paired chain interior); the "
         "closure is the exact keep-one-per-cluster semantics.",
     )
+    p.add_argument(
+        "--lm-tail-pct",
+        type=float,
+        default=None,
+        help="drop the worst P%% of quality-gate survivors by average "
+        "bigram log-probability under the survivors' own corpus model "
+        "(CCNet-style perplexity tail cut)",
+    )
     p.add_argument("--no-sampling", action="store_true")
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     return p.parse_args(argv)
@@ -151,6 +165,36 @@ def main(argv=None) -> int:
         "doc_id", "text", "lang"
     ).cache()
     n_gated = survivors.count()
+
+    # -- 2b (--lm-tail-pct): CCNet-style LM perplexity tail cut ----------
+    lm_report = None
+    if args.lm_tail_pct:
+        from pero_ocr_api_spark.operators.lm import bigram_lm_scores
+
+        scores = bigram_lm_scores(survivors).select(
+            "doc_id", (F.col("sum_lp") / F.col("n_bigrams")).alias("avg_lp")
+        )
+        # one distributed percentile sketch -> a scalar cutoff (a
+        # 1-row metric read, not a data path)
+        cutoff = scores.agg(
+            F.percentile_approx("avg_lp", args.lm_tail_pct / 100.0, 10000)
+        ).first()[0]
+        # docs too short to score (no bigrams) pass through — the
+        # token-band gate above already owns the length policy
+        pre_lm = survivors
+        survivors = (
+            survivors.join(scores, "doc_id", "left")
+            .filter(F.col("avg_lp").isNull() | (F.col("avg_lp") >= cutoff))
+            .select("doc_id", "text", "lang")
+            .cache()
+        )
+        n_gated_lm = survivors.count()  # materializes before the release
+        pre_lm.unpersist()
+        lm_report = {
+            "after_lm_filter": n_gated_lm,
+            "cutoff_avg_lp": cutoff,
+            "tail_pct": args.lm_tail_pct,
+        }
 
     # -- 3: exact dedup (keep lowest doc_id per fingerprint) -------------
     fp = survivors.select(
@@ -296,6 +340,8 @@ def main(argv=None) -> int:
         "after_near_dedup": n_deduped,
         "kept": n_kept,
     }
+    if lm_report is not None:
+        funnel["after_lm_filter"] = lm_report["after_lm_filter"]
     if emb_report is not None and emb_report["after_embedding_dedup"] is not None:
         funnel["after_embedding_dedup"] = emb_report["after_embedding_dedup"]
     if closure_report is not None:
@@ -313,6 +359,16 @@ def main(argv=None) -> int:
                 **(
                     {"embedding_skew": emb_report["skew"]}
                     if emb_report is not None
+                    else {}
+                ),
+                **(
+                    {
+                        "lm_filter": {
+                            "cutoff_avg_lp": lm_report["cutoff_avg_lp"],
+                            "tail_pct": lm_report["tail_pct"],
+                        }
+                    }
+                    if lm_report is not None
                     else {}
                 ),
                 "wall_sec": round(time.monotonic() - t0, 2),

@@ -423,3 +423,38 @@ def test_compact_extracted_bucketed(spark, docs_df, media_df):
         full.unpersist()
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+
+
+def test_curate_job_lm_filter_stage(spark):
+    """--lm-tail-pct adds the CCNet-style perplexity gate: the funnel
+    gains after_lm_filter (monotone between the quality gate and exact
+    dedup), the report carries the sketch cutoff, and roughly the
+    requested tail is removed."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import curate_job
+
+    d = tempfile.mkdtemp()
+    argv = [
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", f"{d}/kept",
+        "--lm-tail-pct", "20",
+        "--no-sampling",
+    ]
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        assert curate_job.main(argv) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = report["funnel"]
+    assert (
+        f["after_quality_and_repetition"]
+        >= f["after_lm_filter"]
+        >= f["after_exact_dedup"]
+    )
+    # ~20% of scored survivors removed (sketch cutoff: allow slack)
+    removed = f["after_quality_and_repetition"] - f["after_lm_filter"]
+    assert 0 < removed <= 0.35 * f["after_quality_and_repetition"]
+    assert report["lm_filter"]["tail_pct"] == 20
+    assert report["lm_filter"]["cutoff_avg_lp"] < 0  # a log-probability
