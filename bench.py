@@ -78,6 +78,7 @@ HEADLINE_QUERIES = (
     "user_sessions",
     "last_touch_attribution",
     "lm_quality_scores",
+    "tokenize_corpus",
 )
 
 

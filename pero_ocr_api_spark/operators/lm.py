@@ -104,6 +104,125 @@ def bigram_lm_scores(
     )
 
 
+VOCAB_K = 512  # query-level default; a production vocab is 2^15-2^17
+UNK_ID = 0
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = VOCAB_K, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic corpus vocabulary: the top-k whitespace tokens by
+    occurrence count (count-desc, token-asc tie-break), numbered
+    1..k; id 0 is reserved for UNK.
+
+    Scale shape: one explode + hash aggregate with map-side partials,
+    then a TakeOrdered top-k (per-partition heaps, no global sort of
+    the distinct-token set); the final row_number window runs over the
+    k retained rows only — metadata-sized, like the P-row offset table
+    in scheduling.global_rank. Same tokenizer as the dedup family
+    (dedup.tokens_col) so vocab and shingles agree on token
+    boundaries."""
+    from pero_ocr_api_spark.operators import dedup
+
+    toks = dedup.spread_to_parallelism(docs).select(
+        F.explode(dedup.tokens_col(F.col(text_col))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return top.withColumn(
+        "token_id", F.row_number().over(w).cast("long")
+    ).select("tok", "token_id", "n")
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document against a (tok, token_id) vocabulary —
+    the tokenization handoff a training pipeline runs last. Unknown
+    tokens map to UNK (id 0). Returns (id_col, n_tokens, n_unk,
+    ids_md5) where ids_md5 fingerprints the ORDERED id sequence, so
+    two engines (or two cluster sizes) agree iff they produced the
+    identical token stream.
+
+    Scale shape: posexplode + an equi-join against the vocab (k rows —
+    broadcast-sized by construction) + one per-doc aggregate whose
+    order-sensitive part is an array_sort over that doc's own tokens,
+    never a cross-row float or global sort."""
+    from pero_ocr_api_spark.operators import dedup
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(dedup.tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    enc = toks.join(vocab.select("tok", "token_id"), "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(UNK_ID)).alias("tid"),
+    )
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s["tid"].cast("string"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == UNK_ID).cast("long")).alias("n_unk"),
+        F.md5(F.concat_ws(",", ids_in_order).cast("binary")).alias("ids_md5"),
+    )
+
+
+def duckdb_vocab_cte_sql(k: int = VOCAB_K, docs_cte: str = "documents") -> str:
+    """CTE chain ending in ``vocab (tok, token_id, n)`` — the DuckDB
+    twin of :func:`vocab_topk`."""
+    from pero_ocr_api_spark.operators import dedup
+
+    toks = dedup.duckdb_tokens_sql("text")
+    return f"""vocab_top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({toks}) AS tok FROM {docs_cte})
+  GROUP BY tok ORDER BY n DESC, tok ASC LIMIT {k}
+), vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT)
+           AS token_id, n
+  FROM vocab_top
+)"""
+
+
+def duckdb_encode_docs_sql(
+    k: int = VOCAB_K, docs_cte: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Full DuckDB twin of vocab build + :func:`encode_docs`."""
+    from pero_ocr_api_spark.operators import dedup
+
+    toks = dedup.duckdb_tokens_sql("text")
+    return f"""
+WITH {duckdb_vocab_cte_sql(k, docs_cte)},
+positions AS (
+  SELECT {id_col},
+         unnest({toks}) AS tok,
+         unnest(range(1, len({toks}) + 1)) AS pos
+  FROM {docs_cte}
+),
+enc AS (
+  SELECT p.{id_col}, p.pos, coalesce(v.token_id, {UNK_ID}) AS tid
+  FROM positions p LEFT JOIN vocab v USING (tok)
+)
+SELECT {id_col},
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tid = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unk,
+       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+FROM enc GROUP BY {id_col}
+"""
+
+
 def duckdb_bigram_lm_sql(docs_cte: str = "documents", id_col: str = "doc_id") -> str:
     """DuckDB twin of :func:`bigram_lm_scores` over a (id, text) CTE or
     table. Bit-identical: same tokenizer regex, same integer counts,

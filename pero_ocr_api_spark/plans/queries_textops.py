@@ -1160,6 +1160,39 @@ def _sql_lm_quality_scores() -> str:
     return duckdb_bigram_lm_sql("documents")
 
 
+# --- corpus vocabulary + tokenization handoff ---------------------------------
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic top-k corpus vocabulary (operators/lm.vocab_topk):
+    TakeOrdered over map-side partial counts, ids assigned over the k
+    retained rows only."""
+    from pero_ocr_api_spark.operators.lm import vocab_topk
+
+    return vocab_topk(_docs(spark, sf))
+
+
+def _sql_vocab_topk() -> str:
+    from pero_ocr_api_spark.operators.lm import VOCAB_K, duckdb_vocab_cte_sql
+
+    return f"WITH {duckdb_vocab_cte_sql(VOCAB_K)} SELECT tok, token_id, n FROM vocab"
+
+
+def q_tokenize_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenization handoff: encode every doc against the corpus's own
+    top-k vocabulary (UNK = 0); ids_md5 fingerprints the ordered id
+    stream so any two engines/cluster sizes agree iff the token
+    sequences are identical (operators/lm.encode_docs)."""
+    from pero_ocr_api_spark.operators.lm import encode_docs, vocab_topk
+
+    docs = _docs(spark, sf)
+    return encode_docs(docs, vocab_topk(docs))
+
+
+def _sql_tokenize_corpus() -> str:
+    from pero_ocr_api_spark.operators.lm import duckdb_encode_docs_sql
+
+    return duckdb_encode_docs_sql()
+
+
 # --- deterministic stratified sampling (training-mix weighting) ---------------
 # per-lang keep rates in integer percent — mixture weighting a
 # pretraining pipeline applies before tokenization
@@ -1716,6 +1749,8 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     ),
     "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
     "lm_quality_scores": (q_lm_quality_scores, _sql_lm_quality_scores()),
+    "vocab_topk": (q_vocab_topk, _sql_vocab_topk()),
+    "tokenize_corpus": (q_tokenize_corpus, _sql_tokenize_corpus()),
     "stratified_sample_counts": (
         q_stratified_sample_counts,
         _sql_stratified_sample_counts(),

@@ -49,3 +49,30 @@ def test_bigram_lm_tokenizer_case_and_punct(spark):
     rows = bigram_lm_scores(docs).collect()
     vals = {r["doc_id"]: (r["n_bigrams"], r["sum_lp"]) for r in rows}
     assert vals[1] == vals[2]
+
+
+def test_vocab_topk_deterministic_order(spark):
+    from pero_ocr_api_spark.operators.lm import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["tok"]: (r["token_id"], r["n"]) for r in vocab_topk(docs, k=2).collect()}
+    assert rows == {"a": (1, 3), "b": (2, 2)}  # count desc, tok asc
+
+
+def test_encode_docs_hand_computed(spark):
+    import hashlib
+
+    from pero_ocr_api_spark.operators.lm import encode_docs, vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_unk"], r["ids_md5"])
+        for r in encode_docs(docs, vocab_topk(docs, k=2)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == (3, 0, md5("1,2,1"))
+    assert out[2] == (3, 1, md5("1,2,0"))  # 'c' is UNK
