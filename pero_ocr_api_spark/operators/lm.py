@@ -178,6 +178,78 @@ def encode_docs(
     )
 
 
+SEQ_LEN = 256  # query-level block capacity; production 2048-8192
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = SEQ_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing index: concatenate the corpus's token stream
+    in deterministic ``id_col`` order and cut it every ``seq_len``
+    tokens — the last step before a pretraining data loader. Emits per
+    document its global token offset and block placement:
+    (id_col, n_tokens, start_tok, block_id, offset_in_block,
+    n_blocks_spanned) — the index a packed-shard writer consumes; a
+    doc whose tokens straddle a cut spans >1 block.
+
+    Scale shape: one scan for token counts, then the distributed
+    exclusive prefix sum (scheduling.global_prefix_sum — range
+    partition + local window + P-row offset table, NO
+    single-partition exchange over data). Everything emitted is
+    integer arithmetic on exact counts."""
+    from pero_ocr_api_spark.operators import dedup
+    from pero_ocr_api_spark.operators.scheduling import global_prefix_sum
+
+    counted = docs.select(
+        F.col(id_col),
+        F.size(dedup.tokens_col(F.col(text_col))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    placed = global_prefix_sum(counted, [id_col], "n_tokens", out="start_tok")
+    block = F.expr(f"start_tok div {seq_len}")
+    end_block = F.expr(f"(start_tok + n_tokens - 1) div {seq_len}")
+    return placed.select(
+        id_col,
+        "n_tokens",
+        "start_tok",
+        block.alias("block_id"),
+        (F.col("start_tok") % seq_len).alias("offset_in_block"),
+        (end_block - block + 1).alias("n_blocks_spanned"),
+    )
+
+
+def duckdb_pack_sequences_sql(
+    seq_len: int = SEQ_LEN, docs_cte: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (plain window cumsum —
+    single-threaded is fine for the oracle)."""
+    from pero_ocr_api_spark.operators import dedup
+
+    toks = dedup.duckdb_tokens_sql("text")
+    return f"""
+WITH counted AS (
+  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {docs_cte}
+), placed AS (
+  SELECT {id_col}, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM counted
+)
+SELECT {id_col}, n_tokens, start_tok,
+       start_tok // {seq_len} AS block_id,
+       start_tok % {seq_len} AS offset_in_block,
+       (start_tok + n_tokens - 1) // {seq_len} - start_tok // {seq_len} + 1
+         AS n_blocks_spanned
+FROM placed
+"""
+
+
 def duckdb_vocab_cte_sql(k: int = VOCAB_K, docs_cte: str = "documents") -> str:
     """CTE chain ending in ``vocab (tok, token_id, n)`` — the DuckDB
     twin of :func:`vocab_topk`."""

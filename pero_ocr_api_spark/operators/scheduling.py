@@ -116,6 +116,42 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    sort_cols: list[str],
+    value_col: str,
+    out: str = "prefix_sum",
+) -> DataFrame:
+    """Exact global EXCLUSIVE prefix sum of a non-negative value
+    column in ``sort_cols`` order, computed distributively — the same
+    three-step shape as :func:`global_rank` (range partition → local
+    window → P-row offset table), generalized from row counting to an
+    arbitrary running total (sequence packing, byte offsets, quota
+    ledgers). ``value_col`` must be non-negative: the per-partition
+    total is read off the same local-cumsum subtree as ``max`` so the
+    exchange is reused, which needs a monotone running sum."""
+    arranged = df.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = arranged.withColumn("_lcum", F.sum(value_col).over(local_w))
+    totals = local.groupBy("_pid").agg(F.max("_lcum").alias("_ptot"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(off_w), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out, F.col("_off") + F.col("_lcum") - F.col(value_col))
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
 def fair_assign(
     page: DataFrame,
     request: DataFrame,

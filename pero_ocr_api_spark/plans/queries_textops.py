@@ -1193,6 +1193,24 @@ def _sql_tokenize_corpus() -> str:
     return duckdb_encode_docs_sql()
 
 
+# --- sequence-packing index (pretraining data-loader handoff) -----------------
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing placement index (operators/lm.pack_sequences):
+    concatenated token stream cut every SEQ_LEN tokens, per-doc global
+    offset + block span via the distributed exclusive prefix sum
+    (scheduling.global_prefix_sum) — plan-tested to never funnel data
+    through a single partition."""
+    from pero_ocr_api_spark.operators.lm import pack_sequences
+
+    return pack_sequences(_docs(spark, sf))
+
+
+def _sql_pack_sequences() -> str:
+    from pero_ocr_api_spark.operators.lm import duckdb_pack_sequences_sql
+
+    return duckdb_pack_sequences_sql()
+
+
 # --- deterministic stratified sampling (training-mix weighting) ---------------
 # per-lang keep rates in integer percent — mixture weighting a
 # pretraining pipeline applies before tokenization
@@ -1751,6 +1769,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "lm_quality_scores": (q_lm_quality_scores, _sql_lm_quality_scores()),
     "vocab_topk": (q_vocab_topk, _sql_vocab_topk()),
     "tokenize_corpus": (q_tokenize_corpus, _sql_tokenize_corpus()),
+    "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "stratified_sample_counts": (
         q_stratified_sample_counts,
         _sql_stratified_sample_counts(),

@@ -76,3 +76,63 @@ def test_encode_docs_hand_computed(spark):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
     assert out[1] == (3, 0, md5("1,2,1"))
     assert out[2] == (3, 1, md5("1,2,0"))  # 'c' is UNK
+
+
+def test_global_prefix_sum_exact(spark):
+    from pero_ocr_api_spark.operators.scheduling import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5 + 1) for i in range(200)], "k long, v long"
+    ).repartition(8)
+    out = {r["k"]: r["prefix_sum"] for r in global_prefix_sum(df, ["k"], "v").collect()}
+    run = 0
+    for i in range(200):
+        assert out[i] == run
+        run += (i * 7) % 5 + 1
+
+
+def test_global_prefix_sum_no_single_partition_data_exchange(spark):
+    from pero_ocr_api_spark.operators.scheduling import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(100)], "k long, v long"
+    ).repartition(8)
+    plan = (
+        global_prefix_sum(df, ["k"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only SinglePartition exchange allowed is the P-row offset
+    # table (its input is an aggregate over partition ids, not data)
+    import re
+
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1
+    assert "rangepartitioning" in plan
+
+
+def test_pack_sequences_hand_computed(spark):
+    from pero_ocr_api_spark.operators.lm import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),            # 3 toks: start 0,  block 0
+            (2, " ".join(["x"] * 6)),  # 6 toks: start 3, spans blocks 0-2
+            (3, "y z"),              # 2 toks: start 9,  block 2 (offset 1)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_tok"],
+            r["block_id"],
+            r["offset_in_block"],
+            r["n_blocks_spanned"],
+        )
+        for r in pack_sequences(docs, seq_len=4).collect()
+    }
+    assert out[1] == (3, 0, 0, 0, 1)
+    assert out[2] == (6, 3, 0, 3, 3)  # tokens 3..8 -> blocks 0,1,2
+    assert out[3] == (2, 9, 2, 1, 1)
