@@ -99,7 +99,10 @@ def parse_args(argv):
     )
     p.add_argument("--no-sampling", action="store_true")
     p.add_argument("--cores", type=int, default=None, help="local mode only")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.lm_tail_pct is not None and not (0 < args.lm_tail_pct < 100):
+        p.error("--lm-tail-pct must be in (0, 100)")
+    return args
 
 
 def main(argv=None) -> int:
@@ -171,9 +174,11 @@ def main(argv=None) -> int:
     if args.lm_tail_pct:
         from pero_ocr_api_spark.operators.lm import bigram_lm_scores
 
+        # cached: the scoring DAG (explode + gram window + unigram
+        # join) feeds BOTH the cutoff aggregate and the survivors join
         scores = bigram_lm_scores(survivors).select(
             "doc_id", (F.col("sum_lp") / F.col("n_bigrams")).alias("avg_lp")
-        )
+        ).cache()
         # one distributed percentile sketch -> a scalar cutoff (a
         # 1-row metric read, not a data path)
         cutoff = scores.agg(
@@ -190,6 +195,7 @@ def main(argv=None) -> int:
         )
         n_gated_lm = survivors.count()  # materializes before the release
         pre_lm.unpersist()
+        scores.unpersist()
         lm_report = {
             "after_lm_filter": n_gated_lm,
             "cutoff_avg_lp": cutoff,

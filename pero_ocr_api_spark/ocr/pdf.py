@@ -642,6 +642,10 @@ def _row_geometry(parms: dict[str, int]) -> tuple[int, int]:
     colors, bpc = parms["Colors"], parms["BitsPerComponent"]
     rowlen = (parms["Columns"] * colors * bpc + 7) // 8
     bpp = max(1, (colors * bpc) // 8)
+    if rowlen < 1:
+        # /Columns 0 (or /Colors 0) is outside any valid file — the
+        # contract is a typed PdfError, never a bare ValueError
+        raise PdfError("predictor: zero-width row geometry")
     return rowlen, bpp
 
 
@@ -651,7 +655,11 @@ def _png_unpredict(data: bytes, parms: dict[str, int]) -> bytes:
     content lengths are rarely row-aligned)."""
     rowlen, bpp = _row_geometry(parms)
     out = bytearray()
-    prev = bytes(rowlen)
+    # prev starts empty and only ever holds a decoded row: allocation
+    # is bounded by the stream itself, so an absurd declared /Columns
+    # (a hostile tiny file demanding terabytes) costs nothing — rows
+    # are sliced from data, and missing prev bytes read as 0 per spec
+    prev = b""
     i = 0
     while i < len(data):
         ft = data[i]
@@ -661,8 +669,8 @@ def _png_unpredict(data: bytes, parms: dict[str, int]) -> bytes:
             raise PdfError(f"PNG predictor: bad filter type {ft}")
         for j in range(len(row)):
             a = row[j - bpp] if j >= bpp else 0
-            b = prev[j]
-            c = prev[j - bpp] if j >= bpp else 0
+            b = prev[j] if j < len(prev) else 0
+            c = prev[j - bpp] if bpp <= j < len(prev) + bpp else 0
             if ft == 1:
                 row[j] = (row[j] + a) & 0xFF
             elif ft == 2:

@@ -13,10 +13,16 @@ exact DuckDB twin:
   size V, the textbook estimator;
 * each term is snapped onto the 2^-16 grid (similarity.quant16) BEFORE
   summation, so the per-doc sum is a sum of exactly-representable
-  doubles — identical in any accumulation order, hence hash-equal
-  across engines (the house rule from functions/portable.py: never
-  emit an order-sensitive float sum). Callers divide sum_lp by
-  n_bigrams themselves for an average / perplexity.
+  doubles — identical in any accumulation order (the house rule from
+  functions/portable.py: never emit an order-sensitive float sum).
+  Callers divide sum_lp by n_bigrams themselves for an average /
+  perplexity. Honest caveat: unlike sqrt (IEEE-exact), ln is only
+  faithfully rounded, so JVM Math.log and DuckDB's libm can disagree
+  by 1 ulp on the same integer input; if such a term lands within
+  1 ulp of a half-grid point the two engines snap to adjacent grid
+  cells. Probability ≈ 2e-16/1.5e-5 ≈ 1e-11 per DISTINCT
+  (c2, c1+V) pair (terms repeat per pair; at the sf0.01 oracle scale
+  ~1e4 pairs → ~1e-7 total) — disclosed rather than claimed away.
 
 Scale shape (100 TB): the model is corpus-sized, so it is NEVER
 broadcast — scoring joins the exploded bigram stream to the bigram

@@ -470,3 +470,28 @@ def test_lzw_earlychange_parm_parsed():
         b"<< /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>", 1
     )
     assert parms[0]["EarlyChange"] == 0
+
+
+def test_zero_columns_predictor_raises_pdferror():
+    """/Columns 0 is a typed PdfError, never a bare ValueError
+    (review finding: TIFF unpredict hit range() step 0)."""
+    b = pdf.encode_text_pdf_pred(["x"])
+    for repl in (b"/Predictor 2 /Columns 0", b"/Predictor 12 /Columns 0"):
+        bad = b.replace(b"/Predictor 12 /Columns 24", repl)
+        with pytest.raises(pdf.PdfError):
+            pdf.extract_text(bad)
+
+
+def test_huge_declared_columns_is_bounded():
+    """A tiny file declaring absurd /Columns must not trigger a
+    columns-sized allocation: decode cost stays bounded by the stream
+    (review finding: prev row was eagerly allocated at rowlen)."""
+    b = pdf.encode_text_pdf_pred(["x" * 7], columns=64)
+    bad = b.replace(b"/Columns 64", b"/Columns 999999999999")
+    # rows are sliced from the (short) stream; whether the result
+    # still parses as text is irrelevant — it must return or raise
+    # PdfError quickly, never attempt a terabyte allocation
+    try:
+        pdf.extract_text(bad)
+    except pdf.PdfError:
+        pass
