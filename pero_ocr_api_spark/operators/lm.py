@@ -228,6 +228,103 @@ def pack_sequences(
     )
 
 
+def pack_blocks(
+    docs: DataFrame,
+    vocab: DataFrame,
+    seq_len: int = SEQ_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble the actual packed training blocks: every token gets a
+    GLOBAL position (its doc's start_tok from :func:`pack_sequences`
+    plus its in-doc offset), lands in block ``gpos div seq_len``, and
+    each block aggregates its ordered token-id stream. Returns
+    (block_id, n_tokens, n_docs, ids_md5) — the fingerprintable form;
+    a shard writer emits the id array itself (jobs/pack_job.py).
+
+    Scale shape: the one unavoidable cost of packing is re-shuffling
+    the token stream by block id — a single hash shuffle whose
+    per-key state is bounded by seq_len tokens; the vocab join is
+    broadcast-sized, the placement join is an equi-join on the doc
+    key. Every block except the last is exactly seq_len tokens — the
+    invariant the tests pin."""
+    from pero_ocr_api_spark.operators import dedup
+
+    placed = pack_sequences(docs, seq_len, text_col, id_col).select(
+        id_col, "start_tok"
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(dedup.tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    enc = toks.join(vocab.select("tok", "token_id"), "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(UNK_ID)).alias("tid"),
+    )
+    stream = enc.join(placed, id_col).select(
+        (F.col("start_tok") + F.col("pos")).alias("gpos"),
+        F.col(id_col),
+        "tid",
+    )
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
+        lambda s: s["tid"].cast("string"),
+    )
+    return (
+        stream.withColumn("block_id", F.expr(f"gpos div {seq_len}"))
+        .groupBy("block_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.md5(F.concat_ws(",", ids_in_order).cast("binary")).alias(
+                "ids_md5"
+            ),
+        )
+    )
+
+
+def duckdb_pack_blocks_sql(
+    k: int = VOCAB_K,
+    seq_len: int = SEQ_LEN,
+    docs_cte: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of vocab build + :func:`pack_blocks`."""
+    from pero_ocr_api_spark.operators import dedup
+
+    toks = dedup.duckdb_tokens_sql("text")
+    return f"""
+WITH {duckdb_vocab_cte_sql(k, docs_cte)},
+counted AS (
+  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {docs_cte}
+), placed AS (
+  SELECT {id_col},
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM counted
+), positions AS (
+  SELECT {id_col},
+         unnest({toks}) AS tok,
+         unnest(range(0, len({toks}))) AS pos
+  FROM {docs_cte}
+), stream AS (
+  SELECT p.start_tok + t.pos AS gpos, t.{id_col},
+         coalesce(v.token_id, {UNK_ID}) AS tid
+  FROM positions t
+  LEFT JOIN vocab v USING (tok)
+  JOIN placed p USING ({id_col})
+)
+SELECT gpos // {seq_len} AS block_id,
+       count(*) AS n_tokens,
+       CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos)) AS ids_md5
+FROM stream GROUP BY block_id
+"""
+
+
 def duckdb_pack_sequences_sql(
     seq_len: int = SEQ_LEN, docs_cte: str = "documents", id_col: str = "doc_id"
 ) -> str:

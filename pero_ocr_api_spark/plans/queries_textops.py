@@ -1211,6 +1211,23 @@ def _sql_pack_sequences() -> str:
     return duckdb_pack_sequences_sql()
 
 
+def q_pack_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Assembled packed-block fingerprints (operators/lm.pack_blocks):
+    vocab-encoded token stream re-shuffled once by block id, each
+    block's ordered ids md5'd — every block except the last is exactly
+    SEQ_LEN tokens."""
+    from pero_ocr_api_spark.operators.lm import pack_blocks, vocab_topk
+
+    docs = _docs(spark, sf)
+    return pack_blocks(docs, vocab_topk(docs))
+
+
+def _sql_pack_blocks() -> str:
+    from pero_ocr_api_spark.operators.lm import duckdb_pack_blocks_sql
+
+    return duckdb_pack_blocks_sql()
+
+
 # --- deterministic stratified sampling (training-mix weighting) ---------------
 # per-lang keep rates in integer percent — mixture weighting a
 # pretraining pipeline applies before tokenization
@@ -1770,6 +1787,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "vocab_topk": (q_vocab_topk, _sql_vocab_topk()),
     "tokenize_corpus": (q_tokenize_corpus, _sql_tokenize_corpus()),
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
+    "pack_blocks": (q_pack_blocks, _sql_pack_blocks()),
     "stratified_sample_counts": (
         q_stratified_sample_counts,
         _sql_stratified_sample_counts(),

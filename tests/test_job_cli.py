@@ -458,3 +458,47 @@ def test_curate_job_lm_filter_stage(spark):
     assert 0 < removed <= 0.35 * f["after_quality_and_repetition"]
     assert report["lm_filter"]["tail_pct"] == 20
     assert report["lm_filter"]["cutoff_avg_lp"] < 0  # a log-probability
+
+
+def test_pack_job_end_to_end(spark):
+    """Tokenize-and-pack CLI: every block except the last holds exactly
+    seq_len tokens, totals reconcile, ids stay within vocab bounds,
+    and a rerun is byte-identical (full determinism)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import pack_job
+
+    d = tempfile.mkdtemp()
+    argv = [
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", f"{d}/packed",
+        "--seq-len", "128",
+        "--vocab-k", "16",  # smaller than the corpus vocabulary -> UNKs exist
+    ]
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        assert pack_job.main(argv) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    blocks = spark.read.parquet(f"{d}/packed")
+    rows = blocks.orderBy("block_id").collect()
+    assert report["n_blocks"] == len(rows)
+    total = sum(r["n_tokens"] for r in rows)
+    assert total == report["n_tokens"]
+    # exact-fill invariant
+    for r in rows[:-1]:
+        assert r["n_tokens"] == 128 and len(r["token_ids"]) == 128
+    assert 0 < rows[-1]["n_tokens"] <= 128
+    # ids within [0, vocab_k]
+    assert all(0 <= t <= 16 for r in rows for t in r["token_ids"])
+    assert 0 < report["unk_rate_pct"] < 100
+    # determinism: rerun produces the identical block stream
+    first = [(r["block_id"], r["token_ids"]) for r in rows]
+    with redirect_stdout(_io.StringIO()):
+        assert pack_job.main(argv) == 0
+    again = [
+        (r["block_id"], r["token_ids"])
+        for r in spark.read.parquet(f"{d}/packed").orderBy("block_id").collect()
+    ]
+    assert first == again
