@@ -79,6 +79,7 @@ HEADLINE_QUERIES = (
     "last_touch_attribution",
     "lm_quality_scores",
     "tokenize_corpus",
+    "pack_blocks",
 )
 
 

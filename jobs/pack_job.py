@@ -64,12 +64,7 @@ def main(argv=None) -> int:
 
         spark = get_spark(app_name="pack_job", cores=args.cores)
 
-    from pero_ocr_api_spark.operators import dedup
-    from pero_ocr_api_spark.operators.lm import (
-        UNK_ID,
-        pack_sequences,
-        vocab_topk,
-    )
+    from pero_ocr_api_spark.operators.lm import assemble_blocks, vocab_topk
 
     t0 = time.monotonic()
     docs = spark.read.parquet(args.documents).select(
@@ -82,35 +77,7 @@ def main(argv=None) -> int:
     n_docs = docs.count()
 
     vocab = vocab_topk(docs, k=args.vocab_k).cache()
-    placed = pack_sequences(docs, args.seq_len).select(
-        "doc_id", "start_tok"
-    )
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(dedup.tokens_col(F.col("text"))).alias("pos", "tok"),
-    )
-    stream = (
-        toks.join(vocab.select("tok", "token_id"), "tok", "left")
-        .join(placed, "doc_id")
-        .select(
-            (F.col("start_tok") + F.col("pos")).alias("gpos"),
-            "doc_id",
-            F.coalesce(F.col("token_id"), F.lit(UNK_ID)).alias("tid"),
-        )
-    )
-    blocks = (
-        stream.withColumn("block_id", F.expr(f"gpos div {args.seq_len}"))
-        .groupBy("block_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
-                lambda s: s["tid"],
-            ).alias("token_ids"),
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.sum((F.col("tid") == UNK_ID).cast("long")).alias("n_unk"),
-        )
-    )
+    blocks = assemble_blocks(docs, vocab, args.seq_len)
     # contiguous block ranges per shard file — the sequential-read
     # layout a data loader expects
     blocks.repartitionByRange("block_id").write.mode("overwrite").parquet(

@@ -228,7 +228,7 @@ def pack_sequences(
     )
 
 
-def pack_blocks(
+def assemble_blocks(
     docs: DataFrame,
     vocab: DataFrame,
     seq_len: int = SEQ_LEN,
@@ -238,9 +238,10 @@ def pack_blocks(
     """Assemble the actual packed training blocks: every token gets a
     GLOBAL position (its doc's start_tok from :func:`pack_sequences`
     plus its in-doc offset), lands in block ``gpos div seq_len``, and
-    each block aggregates its ordered token-id stream. Returns
-    (block_id, n_tokens, n_docs, ids_md5) — the fingerprintable form;
-    a shard writer emits the id array itself (jobs/pack_job.py).
+    each block aggregates its ordered token-id array. Returns
+    (block_id, token_ids, n_tokens, n_docs, n_unk) — the shard rows
+    jobs/pack_job.py writes; :func:`pack_blocks` is the
+    fingerprintable view of the same subtree.
 
     Scale shape: the one unavoidable cost of packing is re-shuffling
     the token stream by block id — a single hash shuffle whose
@@ -269,18 +270,37 @@ def pack_blocks(
     )
     ids_in_order = F.transform(
         F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
-        lambda s: s["tid"].cast("string"),
+        lambda s: s["tid"],
     )
     return (
         stream.withColumn("block_id", F.expr(f"gpos div {seq_len}"))
         .groupBy("block_id")
         .agg(
+            ids_in_order.alias("token_ids"),
             F.count("*").alias("n_tokens"),
             F.countDistinct(id_col).alias("n_docs"),
-            F.md5(F.concat_ws(",", ids_in_order).cast("binary")).alias(
-                "ids_md5"
-            ),
+            F.sum((F.col("tid") == UNK_ID).cast("long")).alias("n_unk"),
         )
+    )
+
+
+def pack_blocks(
+    docs: DataFrame,
+    vocab: DataFrame,
+    seq_len: int = SEQ_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fingerprintable view of :func:`assemble_blocks`:
+    (block_id, n_tokens, n_docs, ids_md5) — the oracle compares block
+    md5s instead of shipping raw id arrays across engines."""
+    blocks = assemble_blocks(docs, vocab, seq_len, text_col, id_col)
+    ids_str = F.transform(F.col("token_ids"), lambda t: t.cast("string"))
+    return blocks.select(
+        "block_id",
+        "n_tokens",
+        "n_docs",
+        F.md5(F.concat_ws(",", ids_str).cast("binary")).alias("ids_md5"),
     )
 
 
