@@ -143,6 +143,62 @@ def stream_user_sessions(
     )
 
 
+def stream_attribution_candidates(
+    spark: SparkSession,
+    input_path: str,
+    lookback: str = "2 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM join: every purchase paired with the same user's
+    clicks inside a bounded lookback window — the candidate set the
+    batch as-of attribution (queries_events.q_last_touch_attribution)
+    reduces to its latest element. Both sides are watermarked streams;
+    the time-range predicate is what makes the join state PROVABLY
+    bounded (Spark evicts a buffered click once the purchase-side
+    watermark passes click.ts + lookback): O(ingest-rate × (delay +
+    lookback)) per side, never O(history). Inner join: a pair emits as
+    soon as both sides arrive — no end-of-stream flush dependency
+    (outer-null emission waits on watermark advancement, which an
+    availableNow replay never completes for the final window)."""
+    purchases = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts "
+            f"AND c_ts >= p_ts - interval {lookback}"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("c_ts").cast("timestamp"))).alias("gap_us"),
+    )
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     input_path: str,

@@ -113,3 +113,58 @@ def test_doc_score_matches_numpy_quantile(confs):
             2,
         )
         assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_lzw_roundtrip_property(data):
+    from pero_ocr_api_spark.ocr import pdf
+
+    assert pdf._lzw_decode(pdf._lzw_encode(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2048))
+def test_lzw_decoder_never_crashes_uncontrolled(data):
+    """Arbitrary bytes either decode or raise PdfError — never any
+    other exception (the INVALID_FILE contract)."""
+    from pero_ocr_api_spark.ocr import pdf
+
+    try:
+        pdf._lzw_decode(data)
+    except pdf.PdfError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=1024),
+    columns=st.integers(min_value=1, max_value=96),
+)
+def test_png_up_predictor_roundtrip_property(data, columns):
+    from pero_ocr_api_spark.ocr import pdf
+
+    parms = {"Predictor": 12, "Columns": columns, "Colors": 1,
+             "BitsPerComponent": 8}
+    assert pdf._png_unpredict(pdf._png_up_predict(data, columns), parms) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=1024),
+    parms=st.fixed_dictionaries(
+        {
+            "Predictor": st.sampled_from([2, 10, 11, 12, 13, 14, 15]),
+            "Columns": st.integers(min_value=1, max_value=64),
+            "Colors": st.integers(min_value=1, max_value=4),
+            "BitsPerComponent": st.sampled_from([8]),
+        }
+    ),
+)
+def test_unpredict_never_crashes_uncontrolled(data, parms):
+    from pero_ocr_api_spark.ocr import pdf
+
+    try:
+        pdf._unpredict(data, parms)
+    except pdf.PdfError:
+        pass

@@ -118,3 +118,54 @@ def test_stream_user_sessions_matches_batch(spark):
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_attribution_candidates_matches_batch(spark):
+    """Stream-stream time-range join == the batch range join on the
+    same data (replayed files, corpus-spanning watermark)."""
+    import shutil
+
+    from pero_ocr_api_spark.streaming.pipeline import (
+        stream_attribution_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = tempfile.mkdtemp(prefix="stream_attr_")
+    spark.read.parquet(f"{sf}/events.parquet").repartition(5).write.parquet(
+        f"{d}/events.parquet"
+    )
+    q = (
+        stream_attribution_candidates(
+            spark, f"{d}/events.parquet", watermark_delay="31 days"
+        )
+        .writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("attr_stream")
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    exp = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts "
+            "AND c_ts >= p_ts - interval 2 hours"
+        ),
+    ).select("purchase_id", "click_id")
+    assert got.count() > 0
+    assert got.select("purchase_id", "click_id").exceptAll(exp).count() == 0
+    assert exp.exceptAll(got.select("purchase_id", "click_id")).count() == 0
+    shutil.rmtree(d, ignore_errors=True)
