@@ -22,7 +22,7 @@ Supported subset (deliberately small, honestly bounded):
   ``/ASCII85Decode``, and ``/RunLengthDecode`` streams, including
   filter cascades (``[/ASCIIHexDecode /FlateDecode]``) applied in
   array order;
-* ``/DecodeParms`` predictors on Flate streams: PNG predictors 10-15
+* ``/DecodeParms`` predictors on Flate/LZW streams: PNG predictors 10-15
   (None/Sub/Up/Average/Paeth per row, the layout every modern writer
   uses for XRef streams and many use for content) and TIFF predictor
   2 at 8 bits per component;
@@ -84,33 +84,9 @@ def _content_ops(lines: list[str]) -> bytes:
 def encode_text_pdf(lines: list[str]) -> bytes:
     """One-page PDF 1.4 carrying `lines` as Helvetica text, content
     stream Flate-compressed, valid xref — deterministic bytes."""
-    content = zlib.compress(_content_ops(lines), 9)
-
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-        ).encode(),
-        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
-        % (len(content), content),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for n, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
+    return _classic_filtered_pdf(
+        b"/FlateDecode", zlib.compress(_content_ops(lines), 9)
     )
-    return bytes(out)
 
 
 def _hexlify(data: bytes, width: int = 64) -> bytes:
@@ -129,31 +105,7 @@ def encode_text_pdf_hex(lines: list[str], cascade: bool = False) -> bytes:
     filt = (
         b"[/ASCIIHexDecode /FlateDecode]" if cascade else b"/ASCIIHexDecode"
     )
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-        ).encode(),
-        b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
-        % (len(payload), filt, payload),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for n, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
-    )
-    return bytes(out)
+    return _classic_filtered_pdf(filt, payload)
 
 
 def _a85_encode(data: bytes) -> bytes:

@@ -171,13 +171,43 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     The under-parallelized probe is ``df.inputFiles()`` (cheap plan
     walk, Connect-safe) rather than ``df.rdd.getNumPartitions()``
     (which forces the DataFrame through full physical planning into an
-    RDD per call). A non-file source reports zero inputs and gets the
-    spread too — harmless, the shuffle is id+text only."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    RDD per call), refined two ways:
+
+    * a NON-file-backed plan (join/aggregate output, createDataFrame)
+      reports zero inputs; it already carries its upstream shuffle's
+      partitioning, so it is left alone — repartitioning it would
+      re-shuffle a corpus for nothing;
+    * few LARGE files are not under-parallelized: the scan splits them
+      at ``spark.sql.files.maxPartitionBytes`` (8×1 GB files scan as
+      ~64 tasks). When the file sizes are statable the estimated split
+      count gates the spread; when not (object stores), few files keep
+      the conservative spread — the measured local win."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    try:
+        import os
+        from urllib.parse import urlparse
+
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                raise OSError("non-local input")
+            total += os.stat(p.path).st_size
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ).strip().lower().removesuffix("b")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:], 1)
+        mpb = int(raw.rstrip("kmg") or "0") * mult
+        est_splits = max(len(files), -(-total // max(mpb, 1)))
+        if est_splits >= target:
+            return df
+    except OSError:
+        pass  # size unknown -> assume small, keep the spread
+    return df.repartition(target)
 
 
 def minhash_signatures(
@@ -366,21 +396,25 @@ def lsh_candidate_pairs(
 def duckdb_capped_pairs_sql(
     id_col: str = "doc_id",
     max_bucket: int = MAX_BUCKET,
+    sized_cte: str = "sized",
 ) -> str:
     """DuckDB twin of :func:`lsh_candidate_pairs` (capped form).
 
-    Emits a SELECT that hard-references a ``sized`` CTE — callers must
-    first install it via :func:`duckdb_sized_cte_sql` (which pairs each
+    Emits a SELECT referencing ``sized_cte`` — callers must first
+    install it via :func:`duckdb_sized_cte_sql` (which pairs each
     band row with its bucket's count + min id). The two helpers are a
-    pair by contract; there is no independent bands parameter here."""
+    pair by contract; a prefixed chain (queries_textops._sql_bands_cte
+    with ``prefix='c_'``) passes ``sized_cte='c_sized'`` so two chains
+    can coexist in one statement without cross-binding."""
+    s = sized_cte
     return f"""
 SELECT DISTINCT id1, id2 FROM (
   SELECT a.{id_col} AS id1, b.{id_col} AS id2
-  FROM sized a JOIN sized b USING (band_idx, band_hash)
+  FROM {s} a JOIN {s} b USING (band_idx, band_hash)
   WHERE a.bucket_n <= {max_bucket} AND a.{id_col} < b.{id_col}
   UNION ALL
   SELECT bucket_min_id AS id1, {id_col} AS id2
-  FROM sized WHERE bucket_n > {max_bucket} AND {id_col} != bucket_min_id
+  FROM {s} WHERE bucket_n > {max_bucket} AND {id_col} != bucket_min_id
 )"""
 
 
@@ -679,7 +713,12 @@ def connected_components(
     """
     e1 = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     e2 = edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
-    sym = e1.unionAll(e2)
+    # checkpoint the symmetrized edges once: the caller's edge plan is
+    # typically the expensive part (LSH candidate join + Jaccard
+    # verify ∪ ANN self-join), and every propagation round references
+    # `sym` — without a boundary that whole pipeline re-executes per
+    # round (review finding: ~3-6x on curate_job --closure)
+    sym = e1.unionAll(e2).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

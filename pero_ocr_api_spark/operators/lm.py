@@ -7,7 +7,9 @@ the tails. This module is the fully-distributed Spark form with an
 exact DuckDB twin:
 
 * model = corpus bigram + unigram counts (two hash aggregates with
-  map-side partials — the "training" is one scan);
+  map-side partials; the corpus is scanned twice — once per aggregate
+  — which at cluster scale beats caching a corpus-sized token
+  intermediate);
 * score(doc) = Σ over the doc's bigram occurrences of
   ln((c(w1 w2) + 1) / (c(w1) + V)) — add-one smoothing over vocabulary
   size V, the textbook estimator;

@@ -181,6 +181,21 @@ def compact_extracted_bucketed(
     operations, so a crash between them needs the staging table
     re-renamed by hand (documented, not hidden; the data itself is
     never at risk — both copies exist until the final rename)."""
+    table_type = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }.get("Type", "MANAGED")
+    if table_type.upper() == "EXTERNAL":
+        # the staging rewrite below is a MANAGED saveAsTable: renaming
+        # it over an external table would silently repoint the table
+        # at the warehouse and orphan the external files (review
+        # finding) — refuse with a typed error instead
+        raise ValueError(
+            f"compact_extracted_bucketed: {table} is EXTERNAL (path-"
+            "backed); compact it with the table format's own rewrite "
+            "(Iceberg rewrite_data_files) — the session-catalog "
+            "staging swap only preserves MANAGED tables"
+        )
     files_before = len(spark.table(table).inputFiles())
     staging = f"{table}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -239,7 +254,10 @@ def write_band_index(
         docs = docs.join(done, "doc_id", "left_anti")
     docs = docs.cache()
     n = docs.count()
-    if n:
+    # an empty FIRST build still creates the (empty) table: callers
+    # read it back unconditionally (jobs/build_dedup_index.py report,
+    # band_index_candidates), and an empty drop must be re-runnable
+    if n or not spark.catalog.tableExists(table):
         bands = lsh_bands_df(minhash_signatures(docs))
         writer = (
             # align writer tasks with the bucket layout (same
@@ -278,6 +296,10 @@ def band_index_candidates(
     return (
         b_bands.select(F.col("doc_id").alias("batch_id"), "band_idx", "band_hash")
         .join(idx, ["band_idx", "band_hash"])
+        # a retried batch overlaps the index it already wrote: its own
+        # stored rows would otherwise surface as (X, X) "duplicates"
+        # and a keep-list consumer would drop every retried doc
+        .filter(F.col("batch_id") != F.col("corpus_id"))
         .select("batch_id", "corpus_id")
         .distinct()
     )

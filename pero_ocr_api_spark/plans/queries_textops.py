@@ -43,7 +43,13 @@ def _tracked_cache(df: DataFrame) -> DataFrame:
 def release_query_caches() -> None:
     """Unpersist every cache created by the queries in this module
     (including the shared mega-bucket bands, the trained-IVF centroid
-    table, and the similarity operators' internal caches)."""
+    table, and the similarity operators' internal caches).
+
+    Honest caveat on the IVF store: trained centroids come from
+    ``localCheckpoint`` (not ``.cache()``), and ``unpersist()`` is a
+    no-op on checkpointed plans — their blocks (nlist ≈ 16 rows, i.e.
+    negligible) are freed by the ContextCleaner once this registry
+    drops the last reference, which the ``clear()`` below does."""
     for df in _QUERY_CACHES:
         try:
             df.unpersist()
@@ -1245,7 +1251,6 @@ def q_stratified_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
     u = dedup.md5_int_col(
         F.concat(F.lit("sample|"), F.col("doc_id").cast("string")), 7
     )
-    rate_pct = F.lit(None).cast("int")
     expr = None
     for lang, pct in SAMPLE_RATES_PCT.items():
         cond = F.col("lang") == lang

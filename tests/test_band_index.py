@@ -181,3 +181,36 @@ def test_build_dedup_index_job_cli(spark, tmp_path):
         assert report2["band_rows"] == 30 * dedup.LSH_BANDS
     finally:
         _cleanup(spark, table)
+
+
+def test_retried_batch_emits_no_self_pairs(spark):
+    """A crashed-then-retried ingest looks itself up in the index it
+    already wrote: its own stored rows must not surface as (X, X)
+    duplicates (a keep-list consumer would drop every retried doc)."""
+    d = tempfile.mkdtemp()
+    table = "band_index_retry"
+    _cleanup(spark, table)
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    try:
+        write_band_index(spark, docs, table, path=f"{d}/t", buckets=4)
+        cand = band_index_candidates(spark, docs, table)
+        assert cand.filter(F.col("batch_id") == F.col("corpus_id")).count() == 0
+    finally:
+        _cleanup(spark, table)
+
+
+def test_empty_first_build_creates_table(spark):
+    """write_band_index on an empty input still creates the (empty)
+    table so the CLI report and candidate lookups don't crash on a
+    fresh catalog."""
+    d = tempfile.mkdtemp()
+    table = "band_index_empty"
+    _cleanup(spark, table)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    try:
+        assert write_band_index(spark, empty, table, path=f"{d}/t", buckets=4) == 0
+        assert spark.table(table).count() == 0
+        batch = spark.createDataFrame(CORPUS[:3], "doc_id long, text string")
+        assert band_index_candidates(spark, batch, table).count() == 0
+    finally:
+        _cleanup(spark, table)
