@@ -203,7 +203,37 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# --- next-event transition matrix ---------------------------------------
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user next-event transition counts: (prev_type, event_type,
+    n) over each user's time-ordered stream — the first-order Markov
+    statistics a behavioral model trains on. One window shuffle on
+    user_id (same spec as the sessionizer) + a partial-agg groupBy;
+    deterministic ordering via the (ts, event_id) total order."""
+    e = _events(spark, sf).withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    return pairs.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT prev_type, event_type, count(*) AS n_transitions FROM (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_type
+  FROM events
+) WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 EVENTS_QUERIES: dict[str, tuple] = {
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "last_touch_attribution": (

@@ -1199,6 +1199,46 @@ def _sql_tokenize_corpus() -> str:
     return duckdb_encode_docs_sql()
 
 
+# --- quality-weighted sampling (soft curation) ---------------------------------
+def q_quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft curation: keep each doc with probability proportional to
+    its quality score (DSIR-lite importance resampling — a hard
+    threshold discards borderline docs entirely; weighting keeps the
+    distribution smooth). The keep decision is the house deterministic
+    coin (md5 hash vs an integer rate), the rate is floor(quality*100)
+    — both engines compute the identical double product before the
+    floor, so the decision is reproducible across engines, runs, and
+    cluster sizes. One scan, map-side partials."""
+    docs = _docs(spark, sf)
+    q = ts.quality_score_col(F.col("text"))
+    rate = F.floor(q * 100)
+    u = dedup.md5_int_col(
+        F.concat(F.lit("qsample|"), F.col("doc_id").cast("string")), 7
+    )
+    kept = (u * 100) < (rate * _SAMPLE_SPACE)
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def _sql_quality_weighted_sample() -> str:
+    q = ts.duckdb_quality_score_sql("text")
+    u = dedup.duckdb_md5_int_sql(
+        "'qsample|' || CAST(doc_id AS VARCHAR)", 7
+    )
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ({u} * 100) < (floor({q} * 100) * {_SAMPLE_SPACE})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
 # --- sequence-packing index (pretraining data-loader handoff) -----------------
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence-packing placement index (operators/lm.pack_sequences):
@@ -1793,6 +1833,10 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "tokenize_corpus": (q_tokenize_corpus, _sql_tokenize_corpus()),
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "pack_blocks": (q_pack_blocks, _sql_pack_blocks()),
+    "quality_weighted_sample": (
+        q_quality_weighted_sample,
+        _sql_quality_weighted_sample(),
+    ),
     "stratified_sample_counts": (
         q_stratified_sample_counts,
         _sql_stratified_sample_counts(),
