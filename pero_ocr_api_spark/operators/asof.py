@@ -48,14 +48,21 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the latest right row
-    (same ``on`` keys, right ts <= left ts) or nulls.
+    """As-of join: each left row gains its single matching right row
+    (same ``on`` keys) or nulls. ``direction="backward"`` (default)
+    matches the LATEST right row at-or-before the left timestamp;
+    ``"forward"`` the EARLIEST right row at-or-after it (both
+    inclusive at equal timestamps) — the forward scan is the same
+    union-window plan over a descending timestamp order.
 
     Output columns: ``on`` keys, every non-key left column (original
     names), then every non-key right column as ``{right_prefix}{name}``
     (the right timestamp arrives as ``{right_prefix}{right_ts}``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     l_payload = [c for c in left.columns if c not in on]
     r_payload = [c for c in right.columns if c not in on]
     r2 = right.select(
@@ -71,9 +78,14 @@ def asof_join(
         F.struct(*l_payload).alias("_asof_l"),
     )
     u = r2.unionByName(l2, allowMissingColumns=True)
+    ts_order = (
+        F.col("_asof_ts").asc()
+        if direction == "backward"
+        else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy(ts_order, F.col("_asof_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn(

@@ -113,3 +113,25 @@ def test_sessions_respect_gap(spark):
             for r in qe.q_user_sessions(spark, d).collect()
         }
     assert out == {(1, 1): (2, 0), (1, 2): (1, 1), (2, 1): (1, 0)}
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r["pid"]: r["r_cid"]
+        for r in asof_join(left, right, on=["k"], direction="forward").collect()
+    }
+    assert out == {
+        "p1": None,  # 10:00 — no right row at-or-after
+        "p2": "c2",  # equal timestamps match (inclusive)
+        "p3": "c1",  # 07:00 -> earliest right at-or-after is 08:00
+        "p4": None,  # key absent on right
+    }
+
+
+def test_asof_bad_direction_rejected(spark):
+    left, right = _frames(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on=["k"], direction="nearest")
