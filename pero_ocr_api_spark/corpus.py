@@ -289,6 +289,22 @@ def doc_record(seed: int, idx: int) -> tuple[dict, list[dict]]:
                 "truth_text": "\n".join(lzw_lines),
             }
         )
+    if idx == 14:
+        # multi-page PDF: content streams concatenate in document
+        # order, so the span text is all pages' lines in reading order
+        ref = f"m{idx:09d}_pdfpages"
+        page_sets = [["first page line"], ["second page line", "and more"]]
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "application/pdf",
+                "media_bytes": pdf.encode_text_pdf_pages(page_sets),
+                "truth_text": "\n".join(ln for pg in page_sets for ln in pg),
+            }
+        )
     # physical order shuffled; offset carries reading order (FIXTURES §1)
     order = rng.permutation(len(spans))
     spans = [spans[i] for i in order]

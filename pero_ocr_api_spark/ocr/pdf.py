@@ -240,6 +240,51 @@ def encode_text_pdf_pred(lines: list[str], columns: int = 24) -> bytes:
     )
 
 
+def encode_text_pdf_pages(pages: list[list[str]]) -> bytes:
+    """MULTI-page PDF 1.4: one /Page + one Flate content stream per
+    page, kids in reading order — the extractor concatenates content
+    streams in document order, so page N's lines follow page N-1's.
+    Deterministic bytes, standard-viewer-valid xref."""
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3..2+n pages, 3+n..2+2n
+    # contents, 3+2n font
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i in range(n_pages):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
+                f"{PAGE_H}] /Contents {3 + n_pages + i} 0 R /Resources "
+                f"<< /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+    for lines in pages:
+        content = zlib.compress(_content_ops(lines), 9)
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(content), content)
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
 def encode_text_pdf_objstm(lines: list[str]) -> bytes:
     """One-page PDF 1.5: the document dictionaries (catalog, pages,
     page, font) packed into a Flate-compressed object stream (obj 6),

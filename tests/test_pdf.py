@@ -495,3 +495,28 @@ def test_huge_declared_columns_is_bounded():
         pdf.extract_text(bad)
     except pdf.PdfError:
         pass
+
+
+# ----------------------------------------------------------- multi-page ---
+
+
+def test_multipage_roundtrip_reading_order():
+    pages = [
+        ["page one line a", "page one line b"],
+        ["page two only line"],
+        ["page three (last)"],
+    ]
+    b = pdf.encode_text_pdf_pages(pages)
+    assert b"/Count 3" in b
+    flat = [ln for pg in pages for ln in pg]
+    assert pdf.extract_text(b) == flat
+
+
+def test_multipage_kernel_integration():
+    pages = [["alpha"], ["beta"]]
+    res = process_media(
+        pdf.encode_text_pdf_pages(pages), "application/pdf", "mm"
+    )
+    assert res.state == "PROCESSED"
+    assert res.text == "alpha\nbeta"
+    assert res.n_lines == 2
