@@ -203,6 +203,39 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# --- rolling activity rate (RANGE-frame window) ---------------------------
+ROLLING_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_rolling_event_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per event: how many events the same user produced in the
+    preceding 24 h (inclusive) — the rate-limit / burst-detection
+    statistic, and the one window-frame family the suite didn't yet
+    exercise (a RANGE frame over event-time microseconds; rows at
+    equal timestamps are peers, so the count is tie-order-independent
+    by construction). Same single user_id shuffle as every other
+    events window."""
+    e = _events(spark, sf).withColumn("us", _us("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ROLLING_WINDOW_US, 0)
+    )
+    return e.select(
+        "event_id", F.count("*").over(w).alias("n_events_24h")
+    )
+
+
+SQL_ROLLING_EVENT_RATE = f"""
+SELECT event_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND CURRENT ROW
+       ) AS n_events_24h
+FROM events
+"""
+
+
 # --- next-event transition matrix ---------------------------------------
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user next-event transition counts: (prev_type, event_type,
@@ -234,6 +267,7 @@ GROUP BY prev_type, event_type
 
 EVENTS_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "rolling_event_rate": (q_rolling_event_rate, SQL_ROLLING_EVENT_RATE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "last_touch_attribution": (
