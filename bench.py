@@ -80,6 +80,9 @@ HEADLINE_QUERIES = (
     "lm_quality_scores",
     "tokenize_corpus",
     "pack_blocks",
+    "quality_weighted_sample",
+    "event_transitions",
+    "rolling_event_rate",
 )
 
 

@@ -157,25 +157,10 @@ def _rle_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _classic_filtered_pdf(
-    filt: bytes, payload: bytes, parms: bytes | None = None
-) -> bytes:
-    """Assemble the standard 5-object single-page PDF 1.4 around an
-    already-encoded content payload with the given /Filter value (and
-    optional /DecodeParms dict) — shared by the widened-subset fixture
-    writers."""
-    parms_part = b" /DecodeParms %s" % parms if parms else b""
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
-        ).encode(),
-        b"<< /Length %d /Filter %s%s >>\nstream\n%s\nendstream"
-        % (len(payload), filt, parms_part, payload),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
+def _assemble_pdf(objs: list[bytes]) -> bytes:
+    """Serialize numbered body dicts into a classic PDF 1.4: objects,
+    xref table, trailer (/Root = object 1) — the shared tail of every
+    classic fixture writer."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for n, body in enumerate(objs, start=1):
@@ -190,6 +175,30 @@ def _classic_filtered_pdf(
         % (len(objs) + 1, xref_at)
     )
     return bytes(out)
+
+
+def _classic_filtered_pdf(
+    filt: bytes, payload: bytes, parms: bytes | None = None
+) -> bytes:
+    """Assemble the standard 5-object single-page PDF 1.4 around an
+    already-encoded content payload with the given /Filter value (and
+    optional /DecodeParms dict) — shared by the widened-subset fixture
+    writers."""
+    parms_part = b" /DecodeParms %s" % parms if parms else b""
+    return _assemble_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
+                f"{PAGE_H}] /Contents 4 0 R /Resources "
+                f"<< /Font << /F1 5 0 R >> >> >>"
+            ).encode(),
+            b"<< /Length %d /Filter %s%s >>\nstream\n%s\nendstream"
+            % (len(payload), filt, parms_part, payload),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+    )
 
 
 def encode_text_pdf_a85(lines: list[str], cascade: bool = False) -> bytes:
@@ -269,20 +278,7 @@ def encode_text_pdf_pages(pages: list[list[str]]) -> bytes:
             % (len(content), content)
         )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for n, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
-    )
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 def encode_text_pdf_objstm(lines: list[str]) -> bytes:

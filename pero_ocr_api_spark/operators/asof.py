@@ -65,6 +65,10 @@ def asof_join(
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     l_payload = [c for c in left.columns if c not in on]
     r_payload = [c for c in right.columns if c not in on]
+    # a right row with a NULL timestamp can never be "at or before/
+    # after" anything — drop it, or it would sort to an edge of the
+    # scan and be carried as a fabricated match
+    right = right.filter(F.col(right_ts).isNotNull())
     r2 = right.select(
         *on,
         F.col(right_ts).alias("_asof_ts"),
@@ -78,10 +82,14 @@ def asof_join(
         F.struct(*l_payload).alias("_asof_l"),
     )
     u = r2.unionByName(l2, allowMissingColumns=True)
+    # NULLS FIRST in both directions: a left row with a NULL timestamp
+    # sorts before every right row and therefore carries no match
+    # (reproduced review finding: plain desc puts NULLs last, where a
+    # null-ts left row inherited the earliest right row as a match)
     ts_order = (
-        F.col("_asof_ts").asc()
+        F.col("_asof_ts").asc_nulls_first()
         if direction == "backward"
-        else F.col("_asof_ts").desc()
+        else F.col("_asof_ts").desc_nulls_first()
     )
     w = (
         Window.partitionBy(*on)

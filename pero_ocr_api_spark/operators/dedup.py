@@ -200,13 +200,19 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
         raw = spark.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728"
         ).strip().lower().removesuffix("b")
-        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:], 1)
-        mpb = int(raw.rstrip("kmg") or "0") * mult
+        mult = {
+            "k": 1 << 10,
+            "m": 1 << 20,
+            "g": 1 << 30,
+            "t": 1 << 40,
+            "p": 1 << 50,
+        }.get(raw[-1:], 1)
+        mpb = int(raw.rstrip("kmgtp") or "0") * mult
         est_splits = max(len(files), -(-total // max(mpb, 1)))
         if est_splits >= target:
             return df
-    except OSError:
-        pass  # size unknown -> assume small, keep the spread
+    except (OSError, ValueError):
+        pass  # size/conf unparseable -> assume small, keep the spread
     return df.repartition(target)
 
 
@@ -403,9 +409,11 @@ def duckdb_capped_pairs_sql(
     Emits a SELECT referencing ``sized_cte`` — callers must first
     install it via :func:`duckdb_sized_cte_sql` (which pairs each
     band row with its bucket's count + min id). The two helpers are a
-    pair by contract; a prefixed chain (queries_textops._sql_bands_cte
-    with ``prefix='c_'``) passes ``sized_cte='c_sized'`` so two chains
-    can coexist in one statement without cross-binding."""
+    pair by contract. A prefixed chain (queries_textops._sql_bands_cte
+    with ``prefix='c_'`` emits ``c_sized``) passes
+    ``sized_cte='c_sized'`` so two chains coexist in one statement
+    without cross-binding — exercised by
+    tests/test_dedup_cap.py::test_prefixed_sized_cte_binds."""
     s = sized_cte
     return f"""
 SELECT DISTINCT id1, id2 FROM (

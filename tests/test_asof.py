@@ -135,3 +135,31 @@ def test_asof_bad_direction_rejected(spark):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, on=["k"], direction="nearest")
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """A left row with a NULL timestamp matches nothing in either
+    direction, and null-ts right rows are dropped, never fabricated
+    as matches (reproduced review finding: plain desc ordering made a
+    forward as-of hand the earliest right row to null-ts left rows)."""
+    left = spark.createDataFrame(
+        [(1, None, "pnull"), (1, _ts("2024-01-01 10:00:00"), "p1")],
+        "k int, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, None, "cnull"),
+            (1, _ts("2024-01-01 08:00:00"), "c1"),
+        ],
+        "k int, ts timestamp, cid string",
+    )
+    for direction, expect_p1 in (("backward", "c1"), ("forward", None)):
+        out = {
+            r["pid"]: r["r_cid"]
+            for r in asof_join(
+                left, right, on=["k"], direction=direction
+            ).collect()
+        }
+        assert out["pnull"] is None, direction
+        assert out["p1"] == expect_p1, direction
+        assert "cnull" not in out.values()

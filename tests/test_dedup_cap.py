@@ -49,3 +49,64 @@ def test_small_buckets_keep_clique(spark):
     }
     if shared:
         assert (1000, 1001) in pairs
+
+
+def test_prefixed_sized_cte_binds():
+    """Two namespaced band chains coexist in ONE DuckDB statement and
+    each capped-pairs SELECT binds its own sized CTE — the contract
+    the sized_cte parameter exists for (review finding: the param had
+    no caller and no test)."""
+    import duckdb
+
+    from pero_ocr_api_spark.plans.queries_textops import _sql_bands_cte
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs_a AS SELECT * FROM (VALUES "
+        "(1, 'alpha beta gamma delta one two three'), "
+        "(2, 'alpha beta gamma delta one two three')) t(doc_id, text)"
+    )
+    con.execute(
+        "CREATE VIEW docs_b AS SELECT * FROM (VALUES "
+        "(7, 'unrelated text with different words entirely here')) "
+        "t(doc_id, text)"
+    )
+    sql = f"""
+WITH {_sql_bands_cte('docs_a', prefix='a_')},
+{_sql_bands_cte('docs_b', prefix='b_')}
+SELECT 'a' AS chain, * FROM ({dedup.duckdb_capped_pairs_sql(sized_cte='a_sized')})
+UNION ALL
+SELECT 'b' AS chain, * FROM ({dedup.duckdb_capped_pairs_sql(sized_cte='b_sized')})
+"""
+    rows = con.execute(sql).fetchall()
+    # chain a: the identical pair; chain b: single doc, no pairs
+    assert ("a", 1, 2) in rows
+    assert all(r[0] == "a" for r in rows)
+
+
+def test_spread_leaves_non_file_plans_alone(spark):
+    """A join/aggregate output (zero inputFiles) already carries its
+    upstream shuffle's partitioning — spread must be a no-op, not a
+    gratuitous corpus re-shuffle (review finding)."""
+    a = spark.createDataFrame([(i, f"t{i}") for i in range(50)], "doc_id long, text string")
+    agg = a.groupBy("doc_id").agg(F.first("text").alias("text"))
+    assert dedup.spread_to_parallelism(agg) is agg
+
+
+def test_spread_survives_any_maxpartitionbytes_unit(spark, tmp_path):
+    """Spark-legal byte-suffix conf values (t/tb/p) must not crash the
+    size probe (review finding: int('1t') escaped the handler)."""
+    p = str(tmp_path / "one_file")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        for val in ("1t", "2tb", "1p", "128m", "134217728b"):
+            spark.conf.set(key, val)
+            out = dedup.spread_to_parallelism(df)
+            assert out.count() == 1
+    finally:
+        spark.conf.set(key, old)

@@ -502,3 +502,28 @@ def test_pack_job_end_to_end(spark):
         for r in spark.read.parquet(f"{d}/packed").orderBy("block_id").collect()
     ]
     assert first == again
+
+
+def test_compact_refuses_external_table(spark, tmp_path):
+    """compact_extracted_bucketed must refuse EXTERNAL (path-backed)
+    tables with a typed error — the managed staging swap would
+    silently repoint the table at the warehouse and orphan the
+    external files (review finding)."""
+    import pytest as _pytest
+
+    from pero_ocr_api_spark.plans.io import compact_extracted_bucketed
+
+    table = "compact_external_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        .write.format("parquet")
+        .bucketBy(2, "doc_id")
+        .option("path", str(tmp_path / "ext"))
+        .saveAsTable(table)
+    )
+    try:
+        with _pytest.raises(ValueError, match="EXTERNAL"):
+            compact_extracted_bucketed(spark, table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
