@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import tempfile
 
 from pyspark.sql import functions as F
 
@@ -163,3 +164,37 @@ def test_asof_null_timestamps_never_match(spark):
         assert out["pnull"] is None, direction
         assert out["p1"] == expect_p1, direction
         assert "cnull" not in out.values()
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """Hand-built stream pins the funnel's strict ordering: a click AT
+    the signup timestamp does not count; a purchase before the first
+    qualifying click does not count."""
+    import os
+
+    from pero_ocr_api_spark.plans import queries_events as qe
+
+    rows = [
+        # user 1: full funnel (signup < click < purchase)
+        (1, 10, "signup", _ts("2024-01-01 08:00:00")),
+        (1, 11, "click", _ts("2024-01-01 09:00:00")),
+        (1, 12, "purchase", _ts("2024-01-01 10:00:00")),
+        # user 2: click exactly AT signup ts -> not after -> no stage 2
+        (2, 20, "signup", _ts("2024-01-01 08:00:00")),
+        (2, 21, "click", _ts("2024-01-01 08:00:00")),
+        # user 3: purchase BEFORE the first post-signup click -> no stage 3
+        (3, 30, "signup", _ts("2024-01-01 08:00:00")),
+        (3, 31, "purchase", _ts("2024-01-01 08:30:00")),
+        (3, 32, "click", _ts("2024-01-01 09:00:00")),
+        # user 4: click but never signed up -> stage 1 absent
+        (4, 40, "click", _ts("2024-01-01 09:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        row = qe.q_funnel_conversion(spark, d).collect()[0]
+    assert row["signup_users"] == 3
+    assert row["click_after_signup_users"] == 2  # users 1 and 3
+    assert row["purchase_after_click_users"] == 1  # user 1 only

@@ -527,3 +527,31 @@ def test_compact_refuses_external_table(spark, tmp_path):
             compact_extracted_bucketed(spark, table)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pack_job_kept_filter(spark):
+    """--kept restricts packing to the curated id list: fewer docs,
+    fewer tokens, and the report reflects the filtered input."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import pack_job
+
+    d = tempfile.mkdtemp()
+    kept = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    kept.write.parquet(f"{d}/kept")
+    argv = [
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--kept", f"{d}/kept",
+        "--output", f"{d}/packed",
+        "--seq-len", "128",
+        "--vocab-k", "64",
+    ]
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        assert pack_job.main(argv) == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["input_docs"] == 100  # 500-doc corpus filtered to ids < 100
+    blocks = spark.read.parquet(f"{d}/packed")
+    assert report["n_tokens"] == blocks.agg(F.sum("n_tokens")).first()[0]
