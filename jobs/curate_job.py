@@ -294,7 +294,8 @@ def main(argv=None) -> int:
         edges = edge_sets[0]
         for e in edge_sets[1:]:
             edges = edges.unionByName(e)
-        comps = dedup.connected_components(edges)
+        cc_skew: dict = {}
+        comps = dedup.connected_components(edges, report_out=cc_skew)
         drops = comps.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias("doc_id")
         )
@@ -303,6 +304,9 @@ def main(argv=None) -> int:
         closure_report = {
             "n_dup_components": comps.select("component").distinct().count(),
             "families": 1 + (1 if args.embeddings else 0),
+            # convergence/skew telemetry: a long tail = high-diameter
+            # chain, a huge round 1 = one dense mega-component
+            "skew": cc_skew,
         }
 
     # -- 5: deterministic stratified mix sampling ------------------------

@@ -18,8 +18,11 @@ data loader memory-maps. Composes the lm operators end to end:
                   data-loader's sequential-read layout); the vocab is
                   written next to them (tok, token_id, n).
 
-Every step is deterministic: same corpus → byte-identical shards on
-any cluster size (the property pack_blocks' ids_md5 oracle pins).
+Every step is deterministic: same corpus → identical BLOCK CONTENTS
+(block_id → token_ids, the property pack_blocks' ids_md5 oracle pins)
+on any cluster size. The parquet file boundaries are NOT byte-stable
+across cluster sizes — repartitionByRange sampling depends on the
+partition count — only the logical blocks are.
 
     spark-submit --py-files dist/pero_ocr_api_spark.zip \\
         jobs/pack_job.py --documents s3://b/docs --kept s3://b/kept_ids \\

@@ -613,8 +613,16 @@ def _parms_list(dict_text: bytes, n_filters: int) -> list[dict[str, int]]:
     if not m:
         return [parse(None)] * n_filters
     val = m.group(1)
+    # the non-greedy '<<.*?>>' stops at the FIRST '>>': a parms dict
+    # containing a nested dictionary would be silently truncated (keys
+    # after the nested dict dropped, defaults substituted). Nested
+    # parms dicts are outside the subset — fail loud, never mis-decode.
+    if val.startswith(b"<<") and b"<<" in val[2:]:
+        raise PdfError("DecodeParms: nested dictionary outside subset")
     if val.startswith(b"["):
         entries = re.findall(rb"<<.*?>>|null", val[1:-1], re.S)
+        if any(b"<<" in e[2:] for e in entries if e != b"null"):
+            raise PdfError("DecodeParms: nested dictionary outside subset")
         dicts = [None if e == b"null" else e for e in entries]
         dicts += [None] * (n_filters - len(dicts))
         return [parse(d) for d in dicts[:n_filters]]

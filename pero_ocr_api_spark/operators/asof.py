@@ -65,6 +65,13 @@ def asof_join(
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     l_payload = [c for c in left.columns if c not in on]
     r_payload = [c for c in right.columns if c not in on]
+    if not l_payload or not r_payload:
+        # F.struct() with zero fields fails with an unrelated analysis
+        # error; the usual cause is naming the timestamp column in `on`
+        raise ValueError(
+            "asof_join: each side needs at least one non-key column "
+            "(did you include the timestamp column in `on`?)"
+        )
     # a right row with a NULL timestamp can never be "at or before/
     # after" anything — drop it, or it would sort to an edge of the
     # scan and be carried as a fabricated match

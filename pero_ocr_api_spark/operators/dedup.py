@@ -208,7 +208,11 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
             "p": 1 << 50,
         }.get(raw[-1:], 1)
         mpb = int(raw.rstrip("kmgtp") or "0") * mult
-        est_splits = max(len(files), -(-total // max(mpb, 1)))
+        if mpb <= 0:
+            # a zero/negative conf is unparseable, not "1-byte splits"
+            # (which would always suppress the spread)
+            raise ValueError("non-positive maxPartitionBytes")
+        est_splits = max(len(files), -(-total // mpb))
         if est_splits >= target:
             return df
     except (OSError, ValueError):
@@ -694,6 +698,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 25,
+    report_out: dict | None = None,
 ) -> DataFrame:
     """Distributed connected components over a candidate-pair graph:
     ``(node, component)`` where ``component`` is the minimum node id
@@ -718,6 +723,13 @@ def connected_components(
     every round to keep lineage flat (same lesson as the IVF Lloyd
     loop), and the fixpoint test is a count of decreased labels —
     labels only ever decrease, so 0 decreases = converged.
+
+    ``report_out`` (a dict) receives convergence/skew telemetry at no
+    extra compute — the per-round decreased-label counts are already
+    the fixpoint test: ``{"rounds": r, "labels_moved_per_round":
+    [...]}``. A long tail of small counts = a high-diameter chain;
+    a huge first round = one dense mega-component (both the skew
+    shapes a 100 TB closure run wants surfaced).
     """
     e1 = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     e2 = edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
@@ -767,6 +779,13 @@ def connected_components(
             .count()
         )
         labels = jumped
+        if report_out is not None:
+            report_out.setdefault("labels_moved_per_round", []).append(
+                decreased
+            )
+            report_out["rounds"] = len(
+                report_out["labels_moved_per_round"]
+            )
         if decreased == 0:
             break
     return labels.select(

@@ -27,13 +27,16 @@ exact DuckDB twin:
   ~1e4 pairs → ~1e-7 total) — disclosed rather than claimed away.
 
 Scale shape (100 TB): the model is corpus-sized, so it is NEVER
-broadcast — scoring joins the exploded bigram stream to the bigram
-counts by a window over the bigram key (count(*) OVER (PARTITION BY
-gram) — the self-model case needs no second scan at all) and to the
-unigram counts by an equi-join on the first token. Head tokens ("the",
-"of") make both keys skewed; they are single-row-per-key on the model
-side, exactly the shape AQE's skew-join splitting handles. Nothing is
-collected; vocabulary size V is a 1-row aggregate cross-joined in.
+broadcast — BOTH model sides (bigram counts and unigram counts) are
+hash aggregates with map-side partials, equi-joined back onto the
+exploded occurrence stream. Head keys ("the", "of the") make both join
+keys skewed, but they are single-row-per-key on the model side —
+exactly the shape AQE's skew-join splitting handles. A per-gram count
+WINDOW over the occurrence stream would compute the same number with
+one less aggregate, but WindowExec partitions cannot be split by AQE,
+so the head gram would serialize the stage at web scale (plan-tested:
+no Window over the occurrence stream). Nothing is collected;
+vocabulary size V is a 1-row aggregate cross-joined in.
 
 Reference analog: the confidence filter at processing_client/
 run_client.py:279-302 gates OCR lines on a model score; this is the
@@ -91,9 +94,14 @@ def bigram_lm_scores(
     bg = toks.select(
         F.col(id_col), F.explode(bigrams_col(F.col("t"))).alias("gram")
     ).withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
-    c2 = F.count("*").over(Window.partitionBy("gram"))
+    # bigram model side: aggregate-then-equi-join (NOT a count window
+    # over the occurrence stream — WindowExec partitions are not
+    # AQE-splittable, so the head gram would pin one task at scale)
+    gramc = bg.groupBy("gram").agg(F.count("*").alias("c2")).select(
+        F.col("gram").alias("g2"), "c2"
+    )
     scored = (
-        bg.withColumn("c2", c2)
+        bg.join(gramc, bg.gram == gramc.g2)
         .join(uni, bg.w1 == uni.tok)
         .crossJoin(voc)
         .select(

@@ -320,7 +320,13 @@ def ann_self_pairs(
 
 IVF_NLIST = 16
 IVF_NPROBE = 4
-IVF_SAMPLE_MOD = 4  # deterministic training sample: vec_id % mod == 1
+# Training-sample budget in ROWS, not a rate: the modulus is derived
+# from the corpus count at plan time (mod = max(1, n div budget)), so
+# the sample — and therefore the single-partition ntile-init window —
+# is metadata-sized BY CONSTRUCTION at any corpus size. A production
+# index wants ~nlist*256; the query-level default is nlist*16 — enough
+# sample per centroid for stable Lloyd cells at sandbox scale.
+IVF_SAMPLE_ROWS = 256
 IVF_LLOYD_ITERS = 2
 
 
@@ -345,17 +351,21 @@ def duckdb_quant16_sql(expr: str) -> str:
 def ivf_train_centroids(
     e: DataFrame,
     nlist: int = IVF_NLIST,
-    sample_mod: int = IVF_SAMPLE_MOD,
+    sample_rows: int = IVF_SAMPLE_ROWS,
     iters: int = IVF_LLOYD_ITERS,
 ) -> DataFrame:
     """K-means-trained coarse centroids for the IVF index, fully
-    distributed (no collect): deterministic spread sample → ntile
-    init → `iters` Lloyd iterations as tiny Spark jobs.
+    distributed (no collect): deterministic row-budgeted sample →
+    ntile init → `iters` Lloyd iterations as tiny Spark jobs.
 
-    * sample: ``vec_id % sample_mod == 1`` — scale the modulus so the
-      sample is metadata-sized (~nlist*256 rows at production scale);
-      its ntile window runs single-partition over *metadata*, like the
-      P-row offset table in scheduling.global_rank.
+    * sample: row kept iff ``md5('ivfsamp|'||vec_id) % mod == 0`` with
+      ``mod = max(1, n div sample_rows)`` where n is the corpus count
+      (a 1-row aggregate cross-joined in — no driver action). Expected
+      sample size is in [sample_rows, 2*sample_rows) whenever
+      n >= sample_rows, so the single-partition ntile-init window is
+      metadata-sized BY CONSTRUCTION at any corpus size — not by
+      caller discipline. The md5 coin is the house engine-portable
+      hash (dedup.md5_int_col), reproduced bit-for-bit by the twin.
     * init: ntile(nlist) over vec_id order, one representative per
       tile — spread across the ingest order, so data clustered by
       ingest (where first-n init collapses into one region) still gets
@@ -366,8 +376,17 @@ def ivf_train_centroids(
       oracle reproduces the centroids bit-for-bit).
 
     Returns (cell, cv, cn) — broadcast-sized (nlist rows)."""
-    samp = e.filter(F.col("vec_id") % sample_mod == 1).select(
-        "vec_id", F.transform("v", quant16).alias("vq")
+    from pero_ocr_api_spark.operators.dedup import md5_int_col
+
+    nrow = e.agg(F.count("*").alias("_n"))
+    u = md5_int_col(
+        F.concat(F.lit("ivfsamp|"), F.col("vec_id").cast("string")), 7
+    )
+    mod = F.greatest(F.lit(1).cast("long"), F.expr(f"_n div {sample_rows}"))
+    samp = (
+        e.crossJoin(nrow)
+        .filter(u % mod == 0)
+        .select("vec_id", F.transform("v", quant16).alias("vq"))
     )
     w_tile = Window.orderBy("vec_id")
     tiled = samp.withColumn("cell", F.ntile(nlist).over(w_tile))
@@ -518,7 +537,7 @@ def ivf_topk(
 def duckdb_ivf_cents_cte_sql(
     dim: int,
     nlist: int = IVF_NLIST,
-    sample_mod: int = IVF_SAMPLE_MOD,
+    sample_rows: int = IVF_SAMPLE_ROWS,
     iters: int = IVF_LLOYD_ITERS,
     emb_cte: str = "emb",
 ) -> str:
@@ -526,12 +545,18 @@ def duckdb_ivf_cents_cte_sql(
     in ``cents (cell, cv, cn)``. Expects an ``{emb_cte}`` CTE with
     (vec_id, v DOUBLE[]). Bit-identical to the Spark path because all
     cross-row sums run over 2^-16-grid values (see :func:`quant16`) —
-    exact in any accumulation order."""
+    exact in any accumulation order — and the sample coin is the same
+    md5 integer hash with the same count-derived modulus."""
+    from pero_ocr_api_spark.operators.dedup import duckdb_md5_int_sql
+
     q = duckdb_quant16_sql
+    u = duckdb_md5_int_sql("'ivfsamp|' || CAST(vec_id AS VARCHAR)", 7)
     parts = [
+        f"ivf_nrow AS (SELECT count(*) AS n FROM {emb_cte})",
         f"""samp AS (
   SELECT vec_id, list_transform(v, x -> {q('x')}) AS vq
-  FROM {emb_cte} WHERE vec_id % {sample_mod} = 1
+  FROM {emb_cte} CROSS JOIN ivf_nrow
+  WHERE {u} % greatest(1, n // {sample_rows}) = 0
 )""",
         f"""tiled AS (
   SELECT vec_id, vq, ntile({nlist}) OVER (ORDER BY vec_id) AS cell FROM samp

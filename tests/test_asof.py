@@ -138,6 +138,17 @@ def test_asof_bad_direction_rejected(spark):
         asof_join(left, right, on=["k"], direction="nearest")
 
 
+def test_asof_keys_only_side_rejected(spark):
+    """A side with zero non-key columns would hit F.struct() with no
+    fields — an unrelated analysis error; the guard names the usual
+    cause (timestamp column listed in `on`) instead (review finding)."""
+    left, right = _frames(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-key column"):
+        asof_join(left.select("k", "ts"), right, on=["k", "ts"])
+
+
 def test_asof_null_timestamps_never_match(spark):
     """A left row with a NULL timestamp matches nothing in either
     direction, and null-ts right rows are dropped, never fabricated

@@ -93,6 +93,30 @@ def test_spread_leaves_non_file_plans_alone(spark):
     assert dedup.spread_to_parallelism(agg) is agg
 
 
+def test_spread_treats_nonpositive_maxpartitionbytes_as_unparseable(
+    spark, tmp_path
+):
+    """mpb=0 must fall through to the conservative spread (review
+    finding: max(mpb,1)=1 made est_splits equal total bytes, always
+    suppressing the spread instead of treating the conf as junk)."""
+    p = str(tmp_path / "one_file_zero_mpb")
+    spark.createDataFrame(
+        [(i, "x" * 100) for i in range(50)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "0")
+        out = dedup.spread_to_parallelism(df)
+        # spread kept, not suppressed (execution itself would reject a
+        # zero conf, so only the plan decision is observable here)
+        assert out is not df
+    finally:
+        spark.conf.set(key, old)
+    assert out.count() == 50
+
+
 def test_spread_survives_any_maxpartitionbytes_unit(spark, tmp_path):
     """Spark-legal byte-suffix conf values (t/tb/p) must not crash the
     size probe (review finding: int('1t') escaped the handler)."""

@@ -30,6 +30,23 @@ def test_bigram_lm_hand_computed(spark):
     assert out[2] == (2, 1, lp1)
 
 
+def test_bigram_lm_no_window_over_occurrence_stream(spark):
+    # the bigram model side must be an aggregate+equi-join, never a
+    # count window over the exploded occurrence stream: WindowExec
+    # partitions cannot be split by AQE skew handling, so a head gram
+    # ("of the") would serialize the stage at web scale
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    plan = (
+        bigram_lm_scores(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
 def test_bigram_lm_short_docs_dropped(spark):
     docs = spark.createDataFrame(
         [(1, "single"), (2, ""), (3, "two tokens")],

@@ -244,6 +244,23 @@ def test_corrupt_objstm_raises():
         pdf.extract_text(body)
 
 
+def test_nested_decodeparms_dict_fails_loud():
+    """_PARMS_RE is non-greedy, so a nested dict inside /DecodeParms
+    would be truncated at the inner '>>' — keys after it (/Columns)
+    silently dropped. Outside-subset input must raise, not mis-decode
+    (review finding)."""
+    with pytest.raises(pdf.PdfError):
+        pdf._parms_list(
+            b"<< /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 12 /Weird << /X 1 >> /Columns 4 >> >>",
+            1,
+        )
+    with pytest.raises(pdf.PdfError):
+        pdf._parms_list(
+            b"<< /DecodeParms [ << /A << /B 1 >> >> null ] >>", 2
+        )
+
+
 def test_unknown_filter_still_rejected():
     body = (
         b"%PDF-1.4\n1 0 obj\n<< /Filter [/ASCIIHexDecode /LZWDecode] "

@@ -34,6 +34,32 @@ def test_query_matches_oracle(spark, duck, name):
     assert_frames_match(got, exp, name)
 
 
+def test_every_query_has_an_oracle_twin():
+    # regression guard for the "every registered query has a DuckDB
+    # twin" invariant — a new entry registered with a None oracle
+    # silently downgrades the driver's check to rows-only
+    missing = [
+        name
+        for name in entrymod.queries()
+        if entrymod.oracle_sql().get(name) is None
+    ]
+    assert missing == []
+
+
+def test_never_driver_sampled_entries_come_first():
+    # the driver verifies a fixed-size prefix of queries() per round;
+    # entries without a driver CORRECTNESS row yet must sort ahead of
+    # already-verified ones so the rotation reaches them next
+    from pero_ocr_api_spark.plans.queries import _DRIVER_VERIFIED
+
+    names = list(entrymod.queries())
+    first_verified = min(
+        (i for i, n in enumerate(names) if n in _DRIVER_VERIFIED),
+        default=len(names),
+    )
+    assert all(n in _DRIVER_VERIFIED for n in names[first_verified:])
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
