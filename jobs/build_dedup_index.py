@@ -22,6 +22,12 @@ is growing).
         jobs/build_dedup_index.py \\
         --documents s3://bucket/documents --table dedup_band_index \\
         --path s3://bucket/dedup_band_index
+
+``--embeddings <path> --dim N`` builds the EMBEDDING twin instead
+(sign-LSH ANN bands over (vec_id, embedding), bucketed by (t, bucket)
+— plans/io.write_embedding_index), the index behind
+``incremental_embedding_dedup`` and
+``streaming.stream_incremental_embedding_dedup``.
 """
 
 from __future__ import annotations
@@ -33,12 +39,27 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--documents", required=True, help="documents table path")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--documents", help="documents table path (text index)")
+    g.add_argument(
+        "--embeddings",
+        help="embeddings table path (ANN sign-LSH index over vec_id, "
+        "embedding — the embedding twin: plans/io.write_embedding_index)",
+    )
+    p.add_argument(
+        "--dim",
+        type=int,
+        default=None,
+        help="embedding dimensionality (required with --embeddings)",
+    )
     p.add_argument("--table", required=True, help="index table name")
     p.add_argument("--path", default=None, help="external table location")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--cores", type=int, default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.embeddings and args.dim is None:
+        p.error("--embeddings requires --dim")
+    return args
 
 
 def main(argv=None) -> int:
@@ -54,15 +75,31 @@ def main(argv=None) -> int:
         spark = get_spark(app_name="build_dedup_index", cores=args.cores)
 
     from pero_ocr_api_spark.operators.dedup import MAX_BUCKET
-    from pero_ocr_api_spark.plans.io import write_band_index
-
-    docs = spark.read.parquet(args.documents)
-    n_new = write_band_index(
-        spark, docs, args.table, path=args.path, buckets=args.buckets
+    from pero_ocr_api_spark.plans.io import (
+        write_band_index,
+        write_embedding_index,
     )
 
+    if args.embeddings:
+        emb = spark.read.parquet(args.embeddings)
+        n_new = write_embedding_index(
+            spark,
+            emb,
+            args.table,
+            dim=args.dim,
+            path=args.path,
+            buckets=args.buckets,
+        )
+        key_cols = ["t", "bucket"]
+    else:
+        docs = spark.read.parquet(args.documents)
+        n_new = write_band_index(
+            spark, docs, args.table, path=args.path, buckets=args.buckets
+        )
+        key_cols = ["band_idx", "band_hash"]
+
     idx = spark.table(args.table)
-    sizes = idx.groupBy("band_idx", "band_hash").agg(
+    sizes = idx.groupBy(*key_cols).agg(
         F.count("*").alias("n")
     )
     skew = sizes.agg(
@@ -74,6 +111,7 @@ def main(argv=None) -> int:
     ).collect()[0]
 
     report = {
+        "family": "embedding" if args.embeddings else "text",
         "docs_indexed": n_new,
         "band_rows": idx.count(),
         "buckets": args.buckets,

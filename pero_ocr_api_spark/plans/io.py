@@ -276,6 +276,108 @@ def write_band_index(
     return n
 
 
+def write_embedding_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    table: str,
+    dim: int,
+    path: str | None = None,
+    buckets: int = 16,
+    tables: int | None = None,
+    planes: int | None = None,
+) -> int:
+    """Build / incrementally extend the PERSISTENT embedding-ANN band
+    index — the embedding twin of :func:`write_band_index`, and the
+    missing leg of the embedding production triangle (self-join →
+    index → incremental): the corpus is sign-LSH-hashed ONCE at
+    index-build time (``similarity.bucket_struct_col``, the identical
+    expression ``ann_self_pairs`` uses), and every daily embedding
+    drop equi-joins the stored (t, bucket) rows instead of re-hashing
+    10^12 vectors.
+
+    The table is bucketed by the JOIN KEY (t, bucket), so a candidate
+    lookup scans it already hash-partitioned — only the incoming batch
+    shuffles (plan-asserted in tests: broadcast disabled, the candidate
+    join compiles to exactly ONE Exchange). Append semantics mirror
+    :func:`write_band_index`: already-indexed vec_ids are anti-joined
+    away, so a crashed build re-submits as-is. Returns the number of
+    NEW vectors indexed.
+
+    The exact-cosine verify stays with the caller — the index stores
+    only (vec_id, t, bucket), never the vectors."""
+    from pero_ocr_api_spark.operators import similarity
+
+    if tables is None:
+        tables = similarity.ANN_SELF_TABLES
+    if planes is None:
+        planes = similarity.ANN_SELF_PLANES
+    emb = emb.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    if spark.catalog.tableExists(table):
+        done = spark.table(table).select("vec_id").distinct()
+        emb = emb.join(done, "vec_id", "left_anti")
+    emb = emb.cache()
+    n = emb.count()
+    if n or not spark.catalog.tableExists(table):
+        e = similarity.as_double_vec(emb)
+        bands = e.select(
+            "vec_id",
+            F.explode(
+                similarity.bucket_struct_col(F.col("v"), dim, tables, planes)
+            ).alias("b"),
+        ).select("vec_id", "b.t", "b.bucket")
+        writer = (
+            bands.repartition(buckets, "t", "bucket")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(buckets, "t", "bucket")
+            .sortBy("bucket")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table)
+    emb.unpersist()
+    return n
+
+
+def embedding_index_candidates(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    dim: int,
+    tables: int | None = None,
+    planes: int | None = None,
+) -> DataFrame:
+    """Candidate (batch_id, corpus_id) pairs for a new embedding batch
+    against the stored ANN band index: hash ONLY the batch, equi-join
+    the bucketed index on (t, bucket), dedupe across tables. The exact
+    cosine verify stays with the caller (it needs the vectors, which
+    the index deliberately does not store)."""
+    from pero_ocr_api_spark.operators import similarity
+
+    if tables is None:
+        tables = similarity.ANN_SELF_TABLES
+    if planes is None:
+        planes = similarity.ANN_SELF_PLANES
+    b = similarity.as_double_vec(batch.select("vec_id", "embedding"))
+    b_bands = b.select(
+        "vec_id",
+        F.explode(
+            similarity.bucket_struct_col(F.col("v"), dim, tables, planes)
+        ).alias("b"),
+    ).select(F.col("vec_id").alias("batch_id"), "b.t", "b.bucket")
+    idx = spark.table(table).select(
+        F.col("vec_id").alias("corpus_id"), "t", "bucket"
+    )
+    return (
+        b_bands.join(idx, ["t", "bucket"])
+        # a retried batch overlaps the index it already wrote (same
+        # hazard as band_index_candidates): never emit (X, X)
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+
 def band_index_candidates(
     spark: SparkSession, batch: DataFrame, table: str
 ) -> DataFrame:

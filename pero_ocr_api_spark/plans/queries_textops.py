@@ -869,6 +869,117 @@ WHERE vec_id NOT IN (SELECT id2 FROM self_pairs)
 """
 
 
+def q_incremental_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) EMBEDDING dedup — the daily-drop
+    shape for the embedding family, completing its production triangle
+    (self-join `ann_self_near_pairs` → persistent index
+    `plans/io.write_embedding_index` → this). A new batch (scaled
+    twins of vec_id < N_NEARDUP, same direction ⇒ cosine 1.0) is
+    sign-LSH-hashed and equi-joined against the CORPUS band index on
+    (t, bucket) — the corpus is hashed once and reused (in production
+    the bands live in the bucketed index table written by
+    write_embedding_index, so only the batch is hashed per run; here
+    the tracked-cached bands DF stands in for the index, exactly as in
+    `incremental_dedup`). Candidates dedupe across tables before the
+    exact-cosine verify, which joins vectors for CANDIDATE rows only —
+    batch-linear, never corpus × batch."""
+    emb = read_table(spark, sf, "embeddings")
+    corpus = _tracked_cache(
+        similarity._with_norm(emb).select("vec_id", "v", "norm")
+    )
+    batch = similarity._with_norm(
+        emb.filter(F.col("vec_id") < N_NEARDUP).select(
+            (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.1).alias("embedding"),
+        )
+    ).select("vec_id", "v", "norm")
+
+    def bands(e: DataFrame, id_alias: str) -> DataFrame:
+        return e.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(
+                similarity.bucket_struct_col(
+                    F.col("v"),
+                    EMB_DIM,
+                    similarity.ANN_SELF_TABLES,
+                    similarity.ANN_SELF_PLANES,
+                )
+            ).alias("b"),
+        ).select(id_alias, "b.t", "b.bucket")
+
+    # the persisted index stand-in: corpus hashed once, joined per batch
+    c_bands = _tracked_cache(bands(corpus, "corpus_id"))
+    cand = (
+        bands(batch, "batch_id")
+        .join(c_bands, ["t", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    cos = round_bin(
+        similarity.dot_col(F.col("v1"), F.col("v2"))
+        / (F.col("n1") * F.col("n2")),
+        4,
+    )
+    return (
+        cand.join(
+            batch.select(
+                F.col("vec_id").alias("batch_id"),
+                F.col("v").alias("v1"),
+                F.col("norm").alias("n1"),
+            ),
+            "batch_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("v").alias("v2"),
+                F.col("norm").alias("n2"),
+            ),
+            "corpus_id",
+        )
+        .select("batch_id", "corpus_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+def _sql_incremental_embedding_dedup() -> str:
+    def per_table(cte: str, id_alias: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id AS {id_alias}, {t} AS t, "
+            f"{_duckdb_bucket_sql('v', similarity.ANN_SELF_PLANES, t)} AS bucket "
+            f"FROM {cte}"
+            for t in range(similarity.ANN_SELF_TABLES)
+        )
+
+    cos = "list_dot_product(b.v, c.v) / (b.norm * c.norm)"
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+batch AS (
+  SELECT vec_id + {NEARDUP_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x * 1.1)::DOUBLE[] AS v,
+         sqrt(list_dot_product(list_transform(embedding, x -> x * 1.1)::DOUBLE[],
+                               list_transform(embedding, x -> x * 1.1)::DOUBLE[]))
+           AS norm
+  FROM embeddings WHERE vec_id < {N_NEARDUP}
+),
+c_bands AS ({per_table('corpus', 'corpus_id')}),
+b_bands AS ({per_table('batch', 'batch_id')}),
+cand AS (
+  SELECT DISTINCT b.batch_id, c.corpus_id
+  FROM b_bands b JOIN c_bands c USING (t, bucket)
+)
+SELECT cand.batch_id, cand.corpus_id, {duckdb_round_bin(cos, 4)} AS cosine
+FROM cand
+JOIN batch b ON b.vec_id = cand.batch_id
+JOIN corpus c ON c.vec_id = cand.corpus_id
+WHERE {duckdb_round_bin(cos, 4)} >= {NEARDUP_THRESHOLD}
+"""
+
+
 # --- kNN label vote over exact top-k ------------------------------------------------
 def q_knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
     """Majority label among the exact top-5 neighbors per query
@@ -1817,6 +1928,10 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "ann_lsh_buckets": (q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "embedding_dedup_keep": (q_embedding_dedup_keep, _sql_embedding_dedup_keep()),
+    "incremental_embedding_dedup": (
+        q_incremental_embedding_dedup,
+        _sql_incremental_embedding_dedup(),
+    ),
     "knn_label_vote": (q_knn_label_vote, _sql_knn_label_vote()),
     "dedup_keep_list": (q_dedup_keep_list, _sql_dedup_keep_list()),
     "training_filter_pipeline": (

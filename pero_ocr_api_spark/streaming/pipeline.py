@@ -354,6 +354,106 @@ def stream_incremental_dedup(
     )
 
 
+def stream_incremental_embedding_dedup(
+    spark: SparkSession,
+    input_path: str,
+    corpus: "DataFrame",
+    dim: int,
+    watermark_delay: str = "10 minutes",
+    cosine_threshold: float = 0.999,
+    corpus_bands: "DataFrame | None" = None,
+) -> DataFrame:
+    """Streaming batch-vs-corpus EMBEDDING dedup — the continuous twin
+    of the batch ``incremental_embedding_dedup`` query and the stream
+    hook of the embedding index (``plans.io.write_embedding_index``).
+    Each incoming vector is sign-LSH-bucketed per row
+    (``similarity.bucket_struct_col`` — a pure projection, identical
+    to the batch/index expression, so stream and index buckets always
+    agree) and equi-joined against the pre-built corpus band index;
+    candidate pairs dedupe across tables inside the watermark, then an
+    exact-cosine verify joins the static corpus VECTORS —
+    candidates-only, never corpus × stream.
+
+    Scale shape: the corpus is hashed ONCE — pass the bucketed table
+    from ``write_embedding_index`` as ``corpus_bands`` (columns
+    vec_id, t, bucket), or let the default build it and
+    ``localCheckpoint`` so micro-batches reuse the materialized bands.
+    The plan stays projections + stream-STATIC joins (append-mode
+    legal); state is one (vec_id, corpus_id) key per in-watermark
+    candidate."""
+    from pero_ocr_api_spark.operators import similarity
+
+    if corpus_bands is None:
+        e = similarity.as_double_vec(corpus.select("vec_id", "embedding"))
+        corpus_bands = (
+            e.select(
+                "vec_id",
+                F.explode(
+                    similarity.bucket_struct_col(
+                        F.col("v"),
+                        dim,
+                        similarity.ANN_SELF_TABLES,
+                        similarity.ANN_SELF_PLANES,
+                    )
+                ).alias("b"),
+            )
+            .select("vec_id", "b.t", "b.bucket")
+            .localCheckpoint(eager=True)
+        )
+    c_vec = similarity._with_norm(corpus.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+
+    schema = "vec_id long, ts timestamp, embedding array<float>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_path)
+    )
+    # band explosion CARRIES ts + the vector (a join-back to the source
+    # would be a stream-stream join; this stays a projection chain)
+    s = stream.withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    ).withColumn(
+        "norm", F.sqrt(similarity.dot_col(F.col("v"), F.col("v")))
+    )
+    s_bands = s.select(
+        "vec_id",
+        "ts",
+        "v",
+        "norm",
+        F.explode(
+            similarity.bucket_struct_col(
+                F.col("v"),
+                dim,
+                similarity.ANN_SELF_TABLES,
+                similarity.ANN_SELF_PLANES,
+            )
+        ).alias("b"),
+    ).select("vec_id", "ts", "v", "norm", "b.t", "b.bucket")
+    cand = (
+        s_bands.join(
+            corpus_bands.select(
+                F.col("vec_id").alias("corpus_id"), "t", "bucket"
+            ),
+            ["t", "bucket"],
+        )
+        .select("vec_id", "corpus_id", "ts", "v", "norm")
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["vec_id", "corpus_id"])
+    )
+    cos = similarity.dot_col(F.col("v"), F.col("cv")) / (
+        F.col("norm") * F.col("cn")
+    )
+    return (
+        cand.join(c_vec, "corpus_id")
+        .select("vec_id", "corpus_id", "ts", cos.alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
 # --- U6 as a custom stateful operator (applyInPandasWithState) -------------
 
 PAGE_EVENT_SCHEMA = "page_id string, state string, ts timestamp"
