@@ -1310,6 +1310,46 @@ def _sql_tokenize_corpus() -> str:
     return duckdb_encode_docs_sql()
 
 
+# --- distributed BPE (subword vocabulary training) -----------------------------
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned BPE merge table (operators/bpe.bpe_train): bounded
+    rounds of pair-count hash aggregate + deterministic argmax + fold
+    merge application over the word-frequency table — the corpus is
+    scanned ONCE; training never touches it again. (merge_rank, p1,
+    p2) is the model artifact a production tokenizer ships."""
+    from pero_ocr_api_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf))
+
+
+def _sql_bpe_merges() -> str:
+    from pero_ocr_api_spark.operators.bpe import duckdb_bpe_merges_sql
+
+    return duckdb_bpe_merges_sql()
+
+
+def q_tokenize_corpus_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword tokenization handoff: encode every doc against the
+    corpus's own trained BPE segmentation (operators/bpe) — the
+    merge-learned variant of `tokenize_corpus`. ids_md5 fingerprints
+    the ordered piece-id stream."""
+    from pero_ocr_api_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = _docs(spark, sf)
+    segments, _ = bpe_train(docs)
+    return bpe_encode_docs(docs, segments, bpe_vocab(segments))
+
+
+def _sql_tokenize_corpus_bpe() -> str:
+    from pero_ocr_api_spark.operators.bpe import duckdb_bpe_encode_sql
+
+    return duckdb_bpe_encode_sql()
+
+
 # --- quality-weighted sampling (soft curation) ---------------------------------
 def q_quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Soft curation: keep each doc with probability proportional to
@@ -1946,6 +1986,8 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "lm_quality_scores": (q_lm_quality_scores, _sql_lm_quality_scores()),
     "vocab_topk": (q_vocab_topk, _sql_vocab_topk()),
     "tokenize_corpus": (q_tokenize_corpus, _sql_tokenize_corpus()),
+    "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
+    "tokenize_corpus_bpe": (q_tokenize_corpus_bpe, _sql_tokenize_corpus_bpe()),
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "pack_blocks": (q_pack_blocks, _sql_pack_blocks()),
     "quality_weighted_sample": (
