@@ -305,6 +305,44 @@ def doc_record(seed: int, idx: int) -> tuple[dict, list[dict]]:
                 "truth_text": "\n".join(ln for pg in page_sets for ln in pg),
             }
         )
+    if idx == 15:
+        # baseline-JPEG raster page (ocr/jpeg.py): the commonest
+        # real-world image kind; near-lossless fixture quant so the
+        # glyph OCR recovers the rendered truth verbatim
+        from pero_ocr_api_spark.ocr import jpeg
+
+        ref = f"m{idx:09d}_jpeg"
+        page = _page_spec(rng)
+        img, truth = render_page(page, SCALE, seed=int(rng.randint(0, 2**31)))
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "image/jpeg",
+                "media_bytes": jpeg.encode_gray(img),
+                "truth_text": truth,
+            }
+        )
+    if idx == 16:
+        # SCANNED PDF: a raster page wrapped in a /DCTDecode image
+        # XObject, no text operators — pero-ocr's home-turf layout;
+        # the kernel falls back to extract_page_images + raster OCR
+        ref = f"m{idx:09d}_pdfscan"
+        page = _page_spec(rng)
+        img, truth = render_page(page, SCALE, seed=int(rng.randint(0, 2**31)))
+        spans.append(
+            {"kind": "media", "text": None, "media_ref": ref, "offset": len(spans)}
+        )
+        media_rows.append(
+            {
+                "media_ref": ref,
+                "media_kind": "application/pdf",
+                "media_bytes": pdf.encode_scanned_pdf([img]),
+                "truth_text": truth,
+            }
+        )
     # physical order shuffled; offset carries reading order (FIXTURES §1)
     order = rng.permutation(len(spans))
     spans = [spans[i] for i in order]

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from pero_ocr_api_spark.functions.arabic import is_arabic_line
-from pero_ocr_api_spark.ocr import exports, layout, pdf, png
+from pero_ocr_api_spark.ocr import exports, jpeg, layout, pdf, png
 from pero_ocr_api_spark.ocr.layout import Block, Line
 
 STATE_PROCESSED = "PROCESSED"
@@ -66,6 +66,29 @@ def _score(confidences: list[float]) -> float:
     return float(np.quantile(np.array(confidences, dtype=np.float64), 0.5))
 
 
+_PAGE_GAP = 120  # white rows between stacked scanned-PDF pages — wide
+# enough that layout's projection-profile block split never bridges
+# two pages (block gaps in rendered fixtures are ~MIN_BLOCK_GAP_Y=40)
+
+
+def _stack_pages(imgs: list[np.ndarray]) -> np.ndarray:
+    """Stack scanned-PDF page rasters vertically (white background,
+    white page gap) so multi-page documents flow through the
+    single-canvas layout/OCR stages in reading order."""
+    if len(imgs) == 1:
+        return imgs[0]
+    width = max(im.shape[1] for im in imgs)
+    parts: list[np.ndarray] = []
+    for i, im in enumerate(imgs):
+        if i:
+            parts.append(np.full((_PAGE_GAP, width), 255, dtype=np.uint8))
+        if im.shape[1] < width:
+            pad = np.full((im.shape[0], width - im.shape[1]), 255, np.uint8)
+            im = np.concatenate([im, pad], axis=1)
+        parts.append(im)
+    return np.concatenate(parts, axis=0)
+
+
 def process_media(
     media_bytes: bytes | None,
     media_kind: str | None,
@@ -78,18 +101,29 @@ def process_media(
             state=STATE_NOT_FOUND,
             error=f"media_ref {media_ref!r} not found in media table",
         )
-    # decode stage → INVALID_FILE on failure. Two real decode paths:
-    # raster pages (PNG → layout analysis + glyph OCR) and digital-text
-    # PDFs (content-stream text operators, ocr/pdf.py — no
-    # rasterization, per-line confidence 1.0); everything else is the
-    # whitelist refusal (S2), same as a malformed file.
+    # decode stage → INVALID_FILE on failure. Three real decode paths:
+    # raster pages (PNG / baseline-grayscale JPEG → layout analysis +
+    # glyph OCR), digital-text PDFs (content-stream text operators,
+    # ocr/pdf.py — no rasterization, per-line confidence 1.0), and
+    # scanned PDFs (no text operators; /DCTDecode page-image XObjects
+    # decode to rasters and flow through the same OCR stages);
+    # everything else is the whitelist refusal (S2), same as a
+    # malformed file.
     pdf_lines: list[str] | None = None
     gray = None
     try:
         if media_kind == "image/png":
             gray = png.decode_gray(media_bytes)
+        elif media_kind == "image/jpeg":
+            gray = jpeg.decode_gray(media_bytes)
         elif media_kind == "application/pdf":
-            pdf_lines = pdf.extract_text(media_bytes)
+            try:
+                pdf_lines = pdf.extract_text(media_bytes)
+            except pdf.PdfError:
+                # scanned-PDF fallback: page images, raster OCR path.
+                # A PDF with neither text nor decodable page images
+                # re-raises here → INVALID_FILE (unchanged contract).
+                gray = _stack_pages(pdf.extract_page_images(media_bytes))
         else:
             raise png.PngError(f"unsupported media_kind {media_kind!r}")
     except Exception:

@@ -30,9 +30,17 @@ Supported subset (deliberately small, honestly bounded):
   structure from ``Td``/``TD``/``T*``; literal strings with the full
   escape set (octal, nesting, line continuations) and hex strings.
 
-Anything outside the subset (encrypted files, DCT/JBIG2/CCITT image
-filters, CID font encodings) raises :class:`PdfError`, which the
-kernel maps to ``INVALID_FILE`` — one bad file never kills a task.
+Scanned PDFs — pages that are raster images, not text operators — are
+handled by :func:`extract_page_images`: ``/Subtype /Image`` XObjects
+that are 8-bit ``/DeviceGray``, either ``/Filter /DCTDecode``
+(baseline grayscale JPEG, decoded by ocr/jpeg.py) or a text-subset
+filter chain yielding raw samples; the kernel falls back to this path
+(and the raster OCR stages) when a PDF has no extractable text.
+
+Anything outside the subset (encrypted files, JBIG2/CCITT image
+filters, color/progressive DCT, CID font encodings) raises
+:class:`PdfError`, which the kernel maps to ``INVALID_FILE`` — one bad
+file never kills a task.
 
 :func:`encode_text_pdf` writes a valid single-page PDF 1.4 with a
 Flate-compressed content stream — used by the synthetic corpus so the
@@ -279,6 +287,119 @@ def encode_text_pdf_pages(pages: list[list[str]]) -> bytes:
         )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     return _assemble_pdf(objs)
+
+
+def encode_scanned_pdf(imgs: "list") -> bytes:
+    """One PDF 1.4 page per image, each page drawing a baseline-JPEG
+    ``/DCTDecode`` image XObject (8-bit /DeviceGray) — the SCANNED-PDF
+    layout that is pero-ocr's home turf (a page raster wrapped in PDF,
+    no text operators). Fixture writer for :func:`extract_page_images`;
+    spec-valid, standard-viewer-renderable."""
+    from pero_ocr_api_spark.ocr import jpeg as _jpeg
+
+    n = len(imgs)
+    if n < 1:
+        raise ValueError("encode_scanned_pdf needs at least one image")
+    # objects: 1 catalog, 2 pages, 3..2+n page dicts, 3+n..2+2n content
+    # streams, 3+2n..2+3n image XObjects
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+    ]
+    for i, img in enumerate(imgs):
+        h, w = img.shape
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+                f"/Contents {3 + n + i} 0 R /Resources "
+                f"<< /XObject << /Im1 {3 + 2 * n + i} 0 R >> >> >>"
+            ).encode()
+        )
+    for img in imgs:
+        h, w = img.shape
+        ops = f"q {w} 0 0 {h} 0 0 cm /Im1 Do Q".encode()
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(ops), ops)
+        )
+    for img in imgs:
+        h, w = img.shape
+        payload = _jpeg.encode_gray(img)
+        objs.append(
+            (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                f"/Filter /DCTDecode /Length {len(payload)} >>"
+            ).encode()
+            + b"\nstream\n"
+            + payload
+            + b"\nendstream"
+        )
+    return _assemble_pdf(objs)
+
+
+_SUBTYPE_RE = re.compile(rb"/Subtype\s*/([A-Za-z0-9]+)")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)\b")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)\b")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)\b")
+_COLORSPACE_RE = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
+
+
+def extract_page_images(data: bytes):
+    """Page raster images of a scanned PDF, document order: every
+    ``/Subtype /Image`` XObject that is 8-bit ``/DeviceGray``, either
+    ``/Filter /DCTDecode`` (baseline grayscale JPEG — ocr/jpeg.py) or
+    any text-subset filter chain yielding raw samples. Returns a list
+    of HxW uint8 arrays; raises :class:`PdfError` when the file has no
+    decodable page image (or is outside the subset: color images,
+    other bit depths, DCT cascades, encrypted files)."""
+    import numpy as np
+
+    from pero_ocr_api_spark.ocr import jpeg as _jpeg
+
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("not a PDF (missing %PDF- header)")
+    if _encrypted(data):
+        raise PdfError("encrypted PDF unsupported")
+    imgs = []
+    for dict_text, raw in _raw_streams(data):
+        sm = _SUBTYPE_RE.search(dict_text)
+        if not sm or sm.group(1) != b"Image":
+            continue
+        wm, hm, bm = (
+            _WIDTH_RE.search(dict_text),
+            _HEIGHT_RE.search(dict_text),
+            _BPC_RE.search(dict_text),
+        )
+        cm = _COLORSPACE_RE.search(dict_text)
+        if not (wm and hm):
+            raise PdfError("image XObject without /Width//Height")
+        w, h = int(wm.group(1)), int(hm.group(1))
+        if bm and int(bm.group(1)) != 8:
+            raise PdfError("non-8-bit image outside subset")
+        if cm and cm.group(1) != b"DeviceGray":
+            raise PdfError("non-grayscale image outside subset")
+        filters = _filters(dict_text)
+        if filters and filters[-1] == b"DCTDecode":
+            if len(filters) > 1:
+                raise PdfError("DCTDecode filter cascade outside subset")
+            try:
+                img = _jpeg.decode_gray(raw)
+            except _jpeg.JpegError as exc:
+                raise PdfError(f"bad DCT image: {exc}") from exc
+        else:
+            samples = _decode_stream(dict_text, raw)
+            if len(samples) != w * h:
+                raise PdfError("image sample count mismatch")
+            img = np.frombuffer(samples, dtype=np.uint8).reshape(h, w)
+        if img.shape != (h, w):
+            raise PdfError(
+                f"image dims mismatch: dict {(h, w)} vs decoded {img.shape}"
+            )
+        imgs.append(img)
+    if not imgs:
+        raise PdfError("no page images found")
+    return imgs
 
 
 def encode_text_pdf_objstm(lines: list[str]) -> bytes:

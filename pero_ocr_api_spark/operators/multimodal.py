@@ -62,9 +62,13 @@ def _decode(media_kind: str | None, blob: bytes | None) -> np.ndarray:
         raise ValueError("null media bytes")
     if media_kind == "image/png":
         return png.decode_gray(bytes(blob))
-    # STUB: non-PNG decode requires Pillow/ffmpeg, absent in this
-    # container. The real implementation plugs in here with the same
-    # (kind, bytes) -> ndarray contract.
+    if media_kind == "image/jpeg":
+        from pero_ocr_api_spark.ocr import jpeg
+
+        return jpeg.decode_gray(bytes(blob))
+    # STUB: remaining kinds (color JPEG, audio/video) require
+    # Pillow/ffmpeg, absent in this container. The real implementation
+    # plugs in here with the same (kind, bytes) -> ndarray contract.
     raise NotImplementedError(f"no decoder for {media_kind!r} in sandbox")
 
 

@@ -1,0 +1,154 @@
+"""Baseline-JPEG codec (ocr/jpeg.py) + scanned-PDF page images
+(pdf.extract_page_images): roundtrips, subset refusals, kernel path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pero_ocr_api_spark.ocr import jpeg, kernel, pdf
+from pero_ocr_api_spark.ocr.render import BlockSpec, render_page
+
+
+def _page():
+    img, truth = render_page(
+        [BlockSpec(y=16, x=16, lines=[("SCAN PAGE LINE", 0.0), ("INK MARK", 0.2)])],
+        5,
+        seed=7,
+    )
+    return img, truth
+
+
+def test_roundtrip_near_lossless():
+    rng = np.random.RandomState(3)
+    for img in (
+        (np.add.outer(np.arange(40), np.arange(52)) % 256).astype(np.uint8),
+        rng.randint(0, 256, (33, 41)).astype(np.uint8),
+        (rng.rand(64, 96) > 0.5).astype(np.uint8) * 255,
+        np.full((17, 23), 200, dtype=np.uint8),
+        _page()[0],
+    ):
+        dec = jpeg.decode_gray(jpeg.encode_gray(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_roundtrip_odd_sizes_cropped_exactly():
+    img = np.arange(9 * 13, dtype=np.uint8).reshape(9, 13)
+    dec = jpeg.decode_gray(jpeg.encode_gray(img))
+    assert dec.shape == (9, 13)
+
+
+def test_quantized_roundtrip_still_decodes():
+    # a real lossy table (not the flat fixture default) must decode;
+    # error is bounded by the table's coarseness, not correctness
+    img = _page()[0]
+    q = np.full(64, 4, dtype=np.int64)
+    dec = jpeg.decode_gray(jpeg.encode_gray(img, quant=q))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8
+
+
+def test_outside_subset_rejected():
+    base = bytearray(jpeg.encode_gray(np.zeros((8, 8), np.uint8)))
+
+    def mutate(marker_from, to):
+        b = bytearray(base)
+        i = b.find(bytes([0xFF, marker_from]))
+        assert i >= 0
+        b[i + 1] = to
+        return bytes(b)
+
+    with pytest.raises(jpeg.JpegError):  # progressive
+        jpeg.decode_gray(mutate(0xC0, 0xC2))
+    with pytest.raises(jpeg.JpegError):  # not a JPEG
+        jpeg.decode_gray(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(jpeg.JpegError):  # truncated entropy stream
+        jpeg.decode_gray(bytes(base)[:-4])
+    # multi-component SOF
+    b = bytearray(base)
+    i = b.find(b"\xff\xc0")
+    b[i + 9] = 3  # ncomp
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_gray(bytes(b))
+    # DRI segment injected before SOS
+    b = bytearray(base)
+    i = b.find(b"\xff\xda")
+    b[i:i] = b"\xff\xdd\x00\x04\x00\x10"
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_gray(bytes(b))
+
+
+def test_scanned_pdf_roundtrip_and_order():
+    img1, _ = _page()
+    img2 = (np.add.outer(np.arange(24), np.arange(32)) % 256).astype(np.uint8)
+    body = pdf.encode_scanned_pdf([img1, img2])
+    imgs = pdf.extract_page_images(body)
+    assert len(imgs) == 2
+    assert imgs[0].shape == img1.shape and imgs[1].shape == img2.shape
+    assert np.abs(imgs[0].astype(int) - img1.astype(int)).max() <= 2
+    # a scanned PDF has no text operators
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_text(body)
+
+
+def test_scanned_pdf_flate_raw_samples_path():
+    import zlib
+
+    img = np.arange(16 * 24, dtype=np.uint8).reshape(16, 24)
+    payload = zlib.compress(img.tobytes(), 9)
+    body = pdf._assemble_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 24 16] "
+            b"/Contents 4 0 R /Resources << /XObject << /Im1 5 0 R >> >> >>",
+            b"<< /Length 26 >>\nstream\nq 24 0 0 16 0 0 cm /Im1 Do Q\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 24 /Height 16 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+            % (len(payload), payload),
+        ]
+    )
+    [got] = pdf.extract_page_images(body)
+    assert np.array_equal(got, img)
+
+
+def test_scanned_pdf_color_image_rejected():
+    img, _ = _page()
+    body = pdf.encode_scanned_pdf([img]).replace(
+        b"/ColorSpace /DeviceGray", b"/ColorSpace /DeviceRGB"
+    )
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_page_images(body)
+
+
+def test_kernel_jpeg_and_scanned_pdf_paths():
+    img, truth = _page()
+    r = kernel.process_media(jpeg.encode_gray(img), "image/jpeg", "m_jpg")
+    assert r.state == kernel.STATE_PROCESSED
+    assert r.text == truth
+    r2 = kernel.process_media(
+        pdf.encode_scanned_pdf([img]), "application/pdf", "m_scan"
+    )
+    assert r2.state == kernel.STATE_PROCESSED
+    assert r2.text == truth
+    # multi-page scanned PDF reads in page order
+    img2, truth2 = render_page(
+        [BlockSpec(y=16, x=16, lines=[("VERSE FOLIO", 0.0)])], 5, seed=9
+    )
+    r3 = kernel.process_media(
+        pdf.encode_scanned_pdf([img, img2]), "application/pdf", "m_scan2"
+    )
+    assert r3.state == kernel.STATE_PROCESSED
+    assert r3.text == truth + "\n" + truth2
+
+
+def test_kernel_fake_pdf_still_invalid():
+    r = kernel.process_media(b"%PDF-1.4 fake", "application/pdf", "m_bad")
+    assert r.state == kernel.STATE_INVALID_FILE
+
+
+def test_kernel_corrupt_jpeg_invalid():
+    r = kernel.process_media(b"\xff\xd8garbage", "image/jpeg", "m_badjpg")
+    assert r.state == kernel.STATE_INVALID_FILE

@@ -51,23 +51,30 @@ def test_sample_frames(spark):
 
 def test_kind_coverage_contract(spark):
     """The stub-vs-real contract documented in COVERAGE.md: image/png
-    decodes for real; every other kind surfaces ok=False with a marked
-    error instead of crashing the Arrow batch."""
+    and image/jpeg (ocr/jpeg.py baseline codec) decode for real — a
+    corrupt file is ok=False with the decode error; audio/video kinds
+    surface ok=False with the marked stub error instead of crashing
+    the Arrow batch."""
     import numpy as np
 
+    from pero_ocr_api_spark.ocr import jpeg
     from pero_ocr_api_spark.sources.tables import MEDIA_SCHEMA
 
     real_png = png.encode_gray(np.full((8, 8), 200, dtype=np.uint8))
+    real_jpeg = jpeg.encode_gray(np.full((8, 8), 200, dtype=np.uint8))
     rows = [
         ("m_png", "image/png", bytearray(real_png), None),
-        ("m_jpeg", "image/jpeg", bytearray(b"\xff\xd8\xff\xe0"), None),
+        ("m_jpeg", "image/jpeg", bytearray(real_jpeg), None),
+        ("m_jpeg_bad", "image/jpeg", bytearray(b"\xff\xd8\xff\xe0"), None),
         ("m_wav", "audio/wav", bytearray(b"RIFF0000WAVE"), None),
         ("m_mp4", "video/mp4", bytearray(b"\x00\x00\x00 ftypmp42"), None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_ref: r for r in multimodal.image_features(media).collect()}
     assert got["m_png"].ok and got["m_png"].width == 8
-    for stubbed in ("m_jpeg", "m_wav", "m_mp4"):
+    assert got["m_jpeg"].ok and got["m_jpeg"].width == 8
+    assert not got["m_jpeg_bad"].ok
+    for stubbed in ("m_wav", "m_mp4"):
         assert not got[stubbed].ok
         assert "no decoder" in got[stubbed].error
 
