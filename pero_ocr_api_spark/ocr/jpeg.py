@@ -30,12 +30,15 @@ entropy-coded JPEG. The decoder builds its Huffman tables from the
 file's DHT, so any well-formed baseline grayscale JPEG decodes, not
 just our fixtures.
 
-Performance note: entropy decode is inherently bit-serial; this
-implementation is numpy for the DCT/dequant math and Python for the
-bit stream — sized for fixture pages (the extraction pipeline's media
-decode already runs inside Arrow-batched ``mapInPandas`` workers, so
-per-image Python here parallelizes across the cluster exactly like the
-PNG/PDF paths).
+Performance note: entropy decode is inherently bit-serial; the decoder
+keeps it tractable the way real decoders do — a 16-bit-lookahead
+Huffman LUT (one table index per SYMBOL, not per bit) over an integer
+bit accumulator, with the stuffed-byte scan and all DCT/dequant math
+vectorized in numpy. The encoder walks only the NONZERO coefficients
+per block (flatnonzero), so mostly-white page blocks cost O(1). The
+extraction pipeline's media decode runs inside Arrow-batched
+``mapInPandas`` workers, so per-image Python here parallelizes across
+the cluster exactly like the PNG/PDF paths.
 """
 
 from __future__ import annotations
@@ -123,14 +126,6 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for the bit-serial decoder."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, vals).items()
-    }
-
-
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
@@ -189,38 +184,39 @@ def encode_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    zz = quantized.reshape(bh * bw, 64)[:, _ZIGZAG]
     bw_out = _BitWriter()
+    put = bw_out.put
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            z = quantized[by, bx].ravel()[_ZIGZAG]
-            diff = int(z[0]) - prev_dc
-            prev_dc = int(z[0])
-            s = _category(diff)
-            code, length = dc_codes[s]
-            bw_out.put(code, length)
-            if s:
-                bits = diff if diff > 0 else diff + (1 << s) - 1
-                bw_out.put(bits, s)
-            run = 0
-            for k in range(1, 64):
-                v = int(z[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw_out.put(code, length)
-                    run -= 16
-                s = _category(v)
-                code, length = ac_codes[(run << 4) | s]
-                bw_out.put(code, length)
-                bits = v if v > 0 else v + (1 << s) - 1
-                bw_out.put(bits, s)
-                run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                bw_out.put(code, length)
+    for row in zz:
+        dc = int(row[0])
+        diff = dc - prev_dc
+        prev_dc = dc
+        s = _category(diff)
+        code, length = dc_codes[s]
+        put(code, length)
+        if s:
+            put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        # walk only the nonzero AC coefficients: mostly-white page
+        # blocks cost O(1) instead of 63 iterations
+        nz = np.flatnonzero(row[1:]) + 1
+        last = 0
+        for k in nz:
+            k = int(k)
+            run = k - last - 1
+            last = k
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                put(code, length)
+                run -= 16
+            v = int(row[k])
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            put(code, length)
+            put(v if v > 0 else v + (1 << s) - 1, s)
+        if last < 63:
+            code, length = ac_codes[0x00]  # EOB
+            put(code, length)
     bw_out.flush()
 
     dqt = bytes([0x00]) + bytes(int(x) for x in q)
@@ -243,52 +239,42 @@ def encode_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 # ---------------------------------------------------------------- decoder ---
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise JpegError("entropy stream truncated")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise JpegError("entropy stream truncated at 0xFF")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed byte
-            elif 0xD0 <= nxt <= 0xD7:
-                raise JpegError("restart markers (DRI/RSTn) outside subset")
-            else:
-                raise JpegError("unexpected marker inside entropy data")
-        self._acc = (self._acc << 8) | b
-        self._nbits += 8
-
-    def bit(self) -> int:
-        if self._nbits == 0:
-            self._fill()
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+def _unstuff(data: bytes) -> bytes:
+    """Validate and strip byte stuffing from the entropy segment:
+    0xFF 0x00 -> 0xFF; 0xFF 0xD9 ends the stream; any other marker is
+    outside the subset (RSTn) or malformed. Vectorized — one numpy
+    scan instead of a per-byte Python loop."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ff = np.flatnonzero(buf == 0xFF)
+    end = len(buf)
+    for i in ff:
+        if i + 1 >= len(buf):
+            raise JpegError("entropy stream truncated at 0xFF")
+        nxt = buf[i + 1]
+        if nxt == 0x00:
+            continue
+        if nxt == 0xD9:  # EOI
+            end = int(i)
+            break
+        if 0xD0 <= nxt <= 0xD7:
+            raise JpegError("restart markers (DRI/RSTn) outside subset")
+        raise JpegError("unexpected marker inside entropy data")
+    return data[:end].replace(b"\xff\x00", b"\xff")
 
 
-def _read_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise JpegError("invalid Huffman code")
+def _lookup16(table_bits: list[int], table_vals: list[int]):
+    """16-bit-lookahead Huffman LUT: two 65536-entry Python lists
+    (symbol, code length) — ONE list index per decoded symbol. The
+    canonical-code property guarantees every 16-bit window whose
+    prefix is a valid code maps to exactly one symbol."""
+    syms = [-1] * 65536
+    lens = [0] * 65536
+    for sym, (code, length) in _canonical_codes(table_bits, table_vals).items():
+        base = code << (16 - length)
+        for i in range(1 << (16 - length)):
+            syms[base + i] = sym
+            lens[base + i] = length
+    return syms, lens
 
 
 def _extend(bits: int, s: int) -> int:
@@ -306,7 +292,7 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
     comp_q = comp_dc = comp_ac = 0
     scan_start = None
@@ -353,7 +339,7 @@ def decode_gray(data: bytes) -> np.ndarray:
                 vals = list(payload[i + 17 : i + 17 + nvals])
                 if len(vals) != nvals:
                     raise JpegError("truncated DHT")
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = (bits, vals)
                 i += 17 + nvals
         elif marker == 0xCC:
             raise JpegError("arithmetic coding outside subset")
@@ -376,36 +362,95 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise JpegError("missing Huffman tables")
 
     qtab = qtabs[comp_q][np.argsort(_ZIGZAG)].reshape(8, 8).astype(np.float64)
-    dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    dc_syms, dc_lens = _lookup16(*huff[(0, comp_dc)])
+    ac_syms, ac_lens = _lookup16(*huff[(1, comp_ac)])
     bh, bw = -(-h // 8), -(-w // 8)
-    reader = _BitReader(data[scan_start:])
-    out_coefs = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+
+    # integer bit accumulator over the unstuffed entropy bytes; the
+    # Huffman LUT peeks a 16-bit window (zero-padded past stream end —
+    # a fake code assembled from padding fails the consume check)
+    ent = _unstuff(data[scan_start:])
+    nbytes = len(ent)
+    total_bits = nbytes * 8
+    acc = 0
+    have = 0
+    ptr = 0
+    pos = 0
+    zz_all = np.zeros((bh * bw, 64), dtype=np.int64)
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            z = np.zeros(64, dtype=np.int64)
-            s = _read_huff(reader, dc_tab)
-            if s > 11:
-                raise JpegError("invalid DC category")
-            prev_dc += _extend(reader.bits(s), s)
-            z[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _read_huff(reader, ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                s = rs & 0x0F
-                if k > 63:
-                    raise JpegError("AC run past block end")
-                z[k] = _extend(reader.bits(s), s)
-                k += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[_ZIGZAG] = z
-            out_coefs[by, bx] = block.reshape(8, 8) * qtab
+    for bi in range(bh * bw):
+        z = zz_all[bi]
+        # --- DC symbol
+        while have < 16 and ptr < nbytes:
+            acc = (acc << 8) | ent[ptr]
+            ptr += 1
+            have += 8
+        w16 = (
+            (acc >> (have - 16)) & 0xFFFF
+            if have >= 16
+            else (acc << (16 - have)) & 0xFFFF
+        )
+        s = dc_syms[w16]
+        if s < 0 or s > 11:
+            raise JpegError("invalid DC Huffman code")
+        length = dc_lens[w16]
+        if pos + length + s > total_bits:
+            raise JpegError("entropy stream truncated")
+        have -= length
+        pos += length
+        if s:
+            while have < s:
+                acc = (acc << 8) | ent[ptr]
+                ptr += 1
+                have += 8
+            prev_dc += _extend((acc >> (have - s)) & ((1 << s) - 1), s)
+            have -= s
+            pos += s
+        acc &= (1 << have) - 1
+        z[0] = prev_dc
+        # --- AC symbols
+        k = 1
+        while k < 64:
+            while have < 16 and ptr < nbytes:
+                acc = (acc << 8) | ent[ptr]
+                ptr += 1
+                have += 8
+            w16 = (
+                (acc >> (have - 16)) & 0xFFFF
+                if have >= 16
+                else (acc << (16 - have)) & 0xFFFF
+            )
+            rs = ac_syms[w16]
+            if rs < 0:
+                raise JpegError("invalid AC Huffman code")
+            length = ac_lens[w16]
+            s = rs & 0x0F
+            if pos + length + s > total_bits:
+                raise JpegError("entropy stream truncated")
+            have -= length
+            pos += length
+            if rs == 0x00:  # EOB
+                acc &= (1 << have) - 1
+                break
+            if rs == 0xF0:  # ZRL
+                acc &= (1 << have) - 1
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise JpegError("AC run past block end")
+            while have < s:
+                acc = (acc << 8) | ent[ptr]
+                ptr += 1
+                have += 8
+            z[k] = _extend((acc >> (have - s)) & ((1 << s) - 1), s)
+            have -= s
+            pos += s
+            acc &= (1 << have) - 1
+            k += 1
+    blocks = np.zeros((bh * bw, 64), dtype=np.float64)
+    blocks[:, _ZIGZAG] = zz_all
+    out_coefs = blocks.reshape(bh, bw, 8, 8) * qtab
     pix = np.einsum("ji,abjk,kl->abil", _C, out_coefs, _C)
     img = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
     return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
