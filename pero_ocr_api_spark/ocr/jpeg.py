@@ -44,6 +44,7 @@ the cluster exactly like the PNG/PDF paths.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -112,13 +113,20 @@ def _dct_matrix() -> np.ndarray:
 _C = _dct_matrix()
 
 
-def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) per the JPEG canonical construction."""
+def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical construction.
+    A table declaring more codes at a length than the code space holds
+    (e.g. 17 codes of length 1) is malformed — typed error, never an
+    IndexError downstream (review finding)."""
+    if len(bits) < 16 or sum(bits) != len(vals):
+        raise JpegError("malformed DHT (bits/values mismatch)")
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise JpegError("malformed DHT (code space overflow)")
             out[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -262,11 +270,15 @@ def _unstuff(data: bytes) -> bytes:
     return data[:end].replace(b"\xff\x00", b"\xff")
 
 
-def _lookup16(table_bits: list[int], table_vals: list[int]):
+@lru_cache(maxsize=32)
+def _lookup16(table_bits: tuple, table_vals: tuple):
     """16-bit-lookahead Huffman LUT: two 65536-entry Python lists
     (symbol, code length) — ONE list index per decoded symbol. The
     canonical-code property guarantees every 16-bit window whose
-    prefix is a valid code maps to exactly one symbol."""
+    prefix is a valid code maps to exactly one symbol. Memoized on the
+    table contents: virtually every file ships the standard Annex-K
+    tables, so the ~260k LUT writes are paid once per worker, not per
+    image (review finding). Callers must not mutate the lists."""
     syms = [-1] * 65536
     lens = [0] * 65536
     for sym, (code, length) in _canonical_codes(table_bits, table_vals).items():
@@ -292,7 +304,7 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    huff: dict[tuple[int, int], tuple[tuple, tuple]] = {}
     h = w = None
     comp_q = comp_dc = comp_ac = 0
     scan_start = None
@@ -319,6 +331,8 @@ def decode_gray(data: bytes) -> np.ndarray:
                 ).astype(np.int64)
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 9:
+                raise JpegError("truncated SOF")
             prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise JpegError("non-8-bit precision outside subset")
@@ -333,12 +347,15 @@ def decode_gray(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0
             while i < len(payload):
+                if i + 17 > len(payload):
+                    raise JpegError("truncated DHT")
                 tc, th = payload[i] >> 4, payload[i] & 0x0F
-                bits = list(payload[i + 1 : i + 17])
+                bits = tuple(payload[i + 1 : i + 17])
                 nvals = sum(bits)
-                vals = list(payload[i + 17 : i + 17 + nvals])
+                vals = tuple(payload[i + 17 : i + 17 + nvals])
                 if len(vals) != nvals:
                     raise JpegError("truncated DHT")
+                _canonical_codes(bits, vals)  # validate at parse time
                 huff[(tc, th)] = (bits, vals)
                 i += 17 + nvals
         elif marker == 0xCC:
@@ -346,6 +363,8 @@ def decode_gray(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise JpegError("restart interval (DRI) outside subset")
         elif marker == 0xDA:  # SOS
+            if len(payload) < 4:
+                raise JpegError("truncated SOS")
             ncomp_s = payload[0]
             if ncomp_s != 1:
                 raise JpegError("multi-component scan outside subset")

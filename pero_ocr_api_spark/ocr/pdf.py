@@ -485,6 +485,37 @@ _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 
 
+def _last_top_dict(full: bytes) -> bytes:
+    """The LAST top-level ``<< ... >>`` body in a byte span.
+
+    ``_STREAM_RE`` starts its dict capture at the first ``<<`` after
+    the previous stream, so the captured span can include earlier
+    NON-stream objects (a font dict between two streams is the common
+    real-PDF layout) — keys like /Subtype or /Filter would then be
+    read from the wrong object (review finding: a font's /Subtype
+    /Type1 shadowed an image XObject's /Subtype /Image). A depth scan
+    keeps only the stream's own dictionary."""
+    depth = 0
+    start = None
+    last = None
+    i, n = 0, len(full)
+    while i < n - 1:
+        two = full[i : i + 2]
+        if two == b"<<":
+            if depth == 0:
+                start = i
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            if depth == 0 and start is not None:
+                last = (start, i + 2)
+            i += 2
+        else:
+            i += 1
+    return full[last[0] + 2 : last[1] - 2] if last else full
+
+
 def _raw_streams(data: bytes) -> list[tuple[bytes, bytes]]:
     """(dict text, stream bytes) for every stream object. Stream bytes
     are sliced by /Length when it is a literal integer (robust against
@@ -497,7 +528,7 @@ def _raw_streams(data: bytes) -> list[tuple[bytes, bytes]]:
     0x0A/0x0D, and stripping it would corrupt ~1.5% of Flate streams."""
     out = []
     for m in _STREAM_RE.finditer(data):
-        d = m.group(1)
+        d = _last_top_dict(b"<<" + m.group(1) + b">>")
         start = m.end()
         exact = False
         lm = _LENGTH_RE.search(d)
@@ -1070,6 +1101,13 @@ def extract_text(data: bytes) -> list[str]:
             # cross-reference stream (PDF 1.5+): binary table, never
             # content; skipped before decode (its /DecodeParms
             # predictor post-processing is irrelevant to text)
+            continue
+        sm = _SUBTYPE_RE.search(dict_text)
+        if sm and sm.group(1) == b"Image":
+            # image XObjects are never text content — skip them, so a
+            # digital-text PDF with an embedded /DCTDecode logo keeps
+            # its text (review finding: the logo's unsupported-filter
+            # raise used to discard the whole document's text)
             continue
         decoded = _decode_stream(dict_text, raw)
         if stype == b"ObjStm":

@@ -440,6 +440,11 @@ def stream_incremental_embedding_dedup(
             ),
             ["t", "bucket"],
         )
+        # a replayed/retried stream file whose vectors are already in
+        # the corpus index would join its own stored rows and emit
+        # (X, X, cosine=1.0) — a keep-list consumer would then drop
+        # every retried doc (same guard as embedding_index_candidates)
+        .filter(F.col("vec_id") != F.col("corpus_id"))
         .select("vec_id", "corpus_id", "ts", "v", "norm")
         .withWatermark("ts", watermark_delay)
         .dropDuplicatesWithinWatermark(["vec_id", "corpus_id"])

@@ -255,6 +255,38 @@ def test_build_dedup_index_job_cli_embeddings(spark, tmp_path):
         _cleanup(spark, table)
 
 
+def test_stream_replayed_corpus_vectors_emit_no_self_pairs(spark):
+    """A replayed stream file whose vectors are already in the corpus
+    index must not emit (X, X) self-duplicates — a keep-list consumer
+    would drop every retried doc (review finding; same guard as
+    embedding_index_candidates)."""
+    from pero_ocr_api_spark.streaming.pipeline import (
+        stream_incremental_embedding_dedup,
+    )
+
+    corpus = _emb_df(spark, _corpus_rows(6))
+    d = tempfile.mkdtemp()
+    schema = "vec_id long, ts timestamp, embedding array<float>"
+    replay = [
+        (i, T0 + timedelta(seconds=i), _vec(i)) for i in range(6)
+    ]
+    spark.createDataFrame(replay, schema).coalesce(1).write.parquet(f"{d}/in")
+    sq = (
+        stream_incremental_embedding_dedup(spark, f"{d}/in", corpus, DIM)
+        .writeStream.format("memory")
+        .queryName("emb_replay_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(240)
+    got = {
+        (r.vec_id, r.corpus_id)
+        for r in spark.sql("select * from emb_replay_out").collect()
+    }
+    assert all(v != c for v, c in got), got
+
+
 def test_stream_incremental_embedding_dedup_matches_batch(spark):
     """Streamed new vectors vs a static corpus index: the emitted
     (vec, corpus) near-dup verdicts must equal the batch band-join +

@@ -144,6 +144,95 @@ def test_kernel_jpeg_and_scanned_pdf_paths():
     assert r3.text == truth + "\n" + truth2
 
 
+def test_malformed_jpeg_raises_typed_error_not_struct_or_index():
+    """Malformed (vs outside-subset) files must keep the JpegError
+    contract (review finding: struct.error / IndexError leaked)."""
+    base = bytearray(jpeg.encode_gray(np.zeros((8, 8), np.uint8)))
+    # SOF segment with an impossible short length
+    b = bytearray(base)
+    i = b.find(b"\xff\xc0")
+    b[i + 2 : i + 4] = (4).to_bytes(2, "big")
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_gray(bytes(b))
+    # DHT declaring 17 codes of length 1 (code space overflow)
+    bad_dht = bytes([0xFF, 0xC4, 0x00, 0x24, 0x00, 17]) + bytes(15) + bytes(
+        range(17)
+    )
+    b = bytearray(base)
+    i = b.find(b"\xff\xc4")
+    b[i:i] = bad_dht
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_gray(bytes(b))
+    # truncated DHT payload
+    b = bytearray(base)
+    i = b.find(b"\xff\xc4")
+    b[i + 2 : i + 4] = (6).to_bytes(2, "big")
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_gray(bytes(b[: i + 8]) + bytes(base[b.find(b"\xff\xda") :]))
+
+
+def test_scanned_pdf_with_corrupt_jpeg_raises_pdferror():
+    """extract_page_images catches only JpegError — every malformed
+    embedded JPEG must surface as PdfError, not struct/IndexError."""
+    img, _ = _page()
+    body = pdf.encode_scanned_pdf([img])
+    # corrupt the embedded JPEG's entropy tail
+    i = body.rfind(b"\xff\xda")
+    corrupted = body[: i + 10] + b"\xff\xc2" + body[i + 12 :]
+    with pytest.raises(pdf.PdfError):
+        pdf.extract_page_images(corrupted)
+
+
+def test_image_xobject_dict_not_shadowed_by_earlier_objects():
+    """_STREAM_RE's dict capture can span earlier NON-stream objects
+    (a font dict between two streams — the common real-PDF layout);
+    the image XObject's own dict must win (review finding: /Subtype
+    /Type1 from the font shadowed /Subtype /Image)."""
+    img, _ = _page()
+    body = pdf.encode_scanned_pdf([img])
+    # splice a font object between the content stream and the image
+    marker = b"/Type /XObject"
+    i = body.find(marker)
+    obj_start = body.rfind(b" 0 obj", 0, i)
+    num_start = body.rfind(b"\n", 0, obj_start) + 1
+    font_obj = b"9 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    spliced = body[:num_start] + font_obj + body[num_start:]
+    [got] = pdf.extract_page_images(spliced)
+    assert got.shape == img.shape
+
+
+def test_text_pdf_with_embedded_image_keeps_its_text():
+    """A digital-text PDF carrying a /DCTDecode logo must extract its
+    TEXT — image XObjects are skipped, never re-routed to OCR or
+    allowed to poison extract_text (review finding)."""
+    logo = np.full((16, 16), 128, dtype=np.uint8)
+    payload = jpeg.encode_gray(logo)
+    text_body = pdf.encode_text_pdf(["hello world", "second line"])
+    # append the image XObject as an extra body object before the xref
+    i = text_body.find(b"xref")
+    img_obj = (
+        b"8 0 obj\n<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(payload), payload)
+    )
+    hybrid = text_body[:i] + img_obj + text_body[i:]
+    assert pdf.extract_text(hybrid) == ["hello world", "second line"]
+    r = kernel.process_media(hybrid, "application/pdf", "m_hybrid")
+    assert r.state == kernel.STATE_PROCESSED
+    assert r.text == "hello world\nsecond line"
+
+
+def test_broken_text_pdf_stays_invalid_not_rerouted():
+    """A TEXT pdf whose content stream is corrupt must stay
+    INVALID_FILE — never silently re-routed to the image-OCR fallback
+    (review finding: the fallback fired on ANY PdfError)."""
+    body = pdf.encode_text_pdf(["some text"])
+    broken = body.replace(b"/Filter /FlateDecode", b"/Filter /JBIG2Decode")
+    r = kernel.process_media(broken, "application/pdf", "m_broken")
+    assert r.state == kernel.STATE_INVALID_FILE
+
+
 def test_kernel_fake_pdf_still_invalid():
     r = kernel.process_media(b"%PDF-1.4 fake", "application/pdf", "m_bad")
     assert r.state == kernel.STATE_INVALID_FILE
