@@ -83,10 +83,13 @@ HEADLINE_QUERIES = (
     "quality_weighted_sample",
     "event_transitions",
     "rolling_event_rate",
-    # round-5: embedding-index incremental dedup, distributed BPE
+    # round-5: embedding-index incremental dedup, distributed BPE,
+    # C4 line dedup, URL canonicalization dedup
     "incremental_embedding_dedup",
     "bpe_merges",
     "tokenize_corpus_bpe",
+    "line_dedup_stats",
+    "url_dedup_groups",
 )
 
 

@@ -692,6 +692,95 @@ def duckdb_jaccard_sql(sh1: str, sh2: str) -> str:
     )
 
 
+# ------------------------------------------------- C4 line-level dedup ---
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level LINE deduplication (C4, Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once" — the line-granular variant Dolma/RefinedWeb run):
+    every line keeps exactly its globally FIRST occurrence (total
+    order = (doc_id, line index), encoded as one integer so both
+    engines agree without struct comparisons), all later occurrences
+    drop. Returns per doc (id_col, n_lines, n_kept, kept_md5) where
+    kept_md5 fingerprints the surviving lines joined in original
+    order — the reassembled-document check.
+
+    Scale shape: explode → one hash aggregate (min first-key per
+    distinct line, map-side partials) → equi-join back on the line —
+    boilerplate head lines ("subscribe to our newsletter") are heavily
+    skewed but single-row-per-key on the aggregate side, the AQE
+    skew-join shape — → one per-doc aggregate. No windows over the
+    occurrence stream, nothing collected."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+    ).withColumn(
+        "okey", F.col(id_col) * F.lit(1_000_000) + F.col("idx")
+    )
+    firsts = lines.groupBy("line").agg(F.min("okey").alias("first_key"))
+    kept = lines.join(firsts, "line").filter(
+        F.col("okey") == F.col("first_key")
+    )
+    kept_lines = F.concat_ws(
+        sep,
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "line"))),
+            lambda s: s["line"],
+        ),
+    )
+    per_doc = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(kept_lines.cast("binary")).alias("kept_md5"),
+    )
+    return per_doc.join(kept_agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "kept_md5",
+    )
+
+
+def duckdb_line_dedup_sql(
+    docs_cte: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`line_dedup` over a ({id_col}, text) CTE."""
+    return f"""
+ld_lines AS (
+  SELECT {id_col},
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(0, len(string_split(text, chr(10))))) AS idx
+  FROM {docs_cte}
+), ld_keyed AS (
+  SELECT {id_col}, idx, line,
+         {id_col} * 1000000 + idx AS okey
+  FROM ld_lines
+), ld_firsts AS (
+  SELECT line, min(okey) AS first_key FROM ld_keyed GROUP BY line
+), ld_kept AS (
+  SELECT k.{id_col}, k.idx, k.line
+  FROM ld_keyed k JOIN ld_firsts f
+    ON k.line = f.line AND k.okey = f.first_key
+), ld_perdoc AS (
+  SELECT {id_col}, count(*) AS n_lines FROM ld_keyed GROUP BY {id_col}
+), ld_keptagg AS (
+  SELECT {id_col}, count(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_md5
+  FROM ld_kept GROUP BY {id_col}
+)
+SELECT p.{id_col}, p.n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       a.kept_md5
+FROM ld_perdoc p LEFT JOIN ld_keptagg a USING ({id_col})
+"""
+
+
 # --------------------------------------------- connected components ---
 def connected_components(
     edges: DataFrame,

@@ -1310,6 +1310,94 @@ def _sql_tokenize_corpus() -> str:
     return duckdb_encode_docs_sql()
 
 
+# --- C4-style corpus line dedup + URL canonicalization dedup -------------------
+LINE_HEADER = "subscribe to our newsletter for updates"
+LINE_FOOTER = "copyright example corp all rights reserved"
+
+
+def q_line_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level LINE dedup (C4 §2.2 / RefinedWeb): every line
+    keeps only its globally first occurrence. Constructed multi-line
+    docs — a shared boilerplate header/footer around each doc's own
+    text — so exactly one doc keeps the boilerplate and every doc's
+    kept_md5 reassembles its surviving lines in order
+    (operators/dedup.line_dedup)."""
+    docs = _docs(spark, sf)
+    ml = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit(LINE_HEADER), F.col("text"), F.lit(LINE_FOOTER)
+        ).alias("text"),
+    )
+    return dedup.line_dedup(ml)
+
+
+def _sql_line_dedup_stats() -> str:
+    return f"""
+WITH ml AS (
+  SELECT doc_id,
+         '{LINE_HEADER}' || chr(10) || text || chr(10) || '{LINE_FOOTER}'
+           AS text
+  FROM documents
+),
+{dedup.duckdb_line_dedup_sql('ml')}
+"""
+
+
+def q_url_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level dedup after canonicalization (functions/urls.py):
+    scheme+host case-folded, fragments and utm_* trackers stripped —
+    synthesized re-crawl URLs (mixed-case host, tracking params,
+    per-doc fragments) collapse into canonical groups keyed by the
+    surviving (source, path, ref) triple; keep_doc = min doc_id per
+    group, the crawl dedup contract. One scan + one hash aggregate."""
+    from pero_ocr_api_spark.functions import urls
+
+    docs = _docs(spark, sf)
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+        F.lit("HTTPS://")
+    )
+    url = F.concat(
+        scheme,
+        F.col("source"),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit("?utm_campaign=spring&utm_medium=rss&ref="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#section"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.select(
+            urls.canonical_url_col(url).alias("canon_url"), "doc_id"
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+
+
+def _sql_url_dedup_groups() -> str:
+    from pero_ocr_api_spark.functions import urls
+
+    raw = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END"
+        " || source || '.Example.COM/p/' || CAST(doc_id % 37 AS VARCHAR)"
+        " || '?utm_campaign=spring&utm_medium=rss&ref='"
+        " || CAST(doc_id % 3 AS VARCHAR)"
+        " || '#section' || CAST(doc_id AS VARCHAR))"
+    )
+    canon = urls.duckdb_canonical_url_sql(raw)
+    return f"""
+SELECT {canon} AS canon_url,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc
+FROM documents GROUP BY 1
+"""
+
+
 # --- distributed BPE (subword vocabulary training) -----------------------------
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Learned BPE merge table (operators/bpe.bpe_train): bounded
@@ -1986,6 +2074,8 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "lm_quality_scores": (q_lm_quality_scores, _sql_lm_quality_scores()),
     "vocab_topk": (q_vocab_topk, _sql_vocab_topk()),
     "tokenize_corpus": (q_tokenize_corpus, _sql_tokenize_corpus()),
+    "line_dedup_stats": (q_line_dedup_stats, _sql_line_dedup_stats()),
+    "url_dedup_groups": (q_url_dedup_groups, _sql_url_dedup_groups()),
     "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
     "tokenize_corpus_bpe": (q_tokenize_corpus_bpe, _sql_tokenize_corpus_bpe()),
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),

@@ -1,0 +1,97 @@
+"""C4-style corpus line dedup (operators/dedup.line_dedup) and URL
+canonicalization (functions/urls.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pero_ocr_api_spark.functions import urls
+from pero_ocr_api_spark.operators import dedup
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_line_dedup_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nalpha body\nfooter"),
+            (2, "header\nbeta body\nfooter"),
+            (3, "header\nalpha body\nfooter"),  # full duplicate of 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"])
+        for r in dedup.line_dedup(docs).collect()
+    }
+    # doc 1 (globally first): keeps all 3 lines
+    assert out[1] == (3, 3, _md5("header\nalpha body\nfooter"))
+    # doc 2: header/footer already seen -> keeps only its own body
+    assert out[2] == (3, 1, _md5("beta body"))
+    # doc 3: every line already seen -> keeps nothing
+    assert out[3] == (3, 0, None)
+
+
+def test_line_dedup_first_occurrence_is_document_order(spark):
+    # the same line twice WITHIN one doc: only the first index survives
+    docs = spark.createDataFrame(
+        [(5, "x\nx\ny")], "doc_id long, text string"
+    )
+    [r] = dedup.line_dedup(docs).collect()
+    assert (r["n_lines"], r["n_kept"]) == (3, 2)
+    assert r["kept_md5"] == _md5("x\ny")
+
+
+def test_canonical_url_col(spark):
+    rows = [
+        # host case folds, path case survives
+        ("HTTPS://WWW.Example.COM/Path/Q", "https://www.example.com/Path/Q"),
+        # fragment stripped
+        ("https://a.com/p#sec2", "https://a.com/p"),
+        # utm params stripped, real param survives
+        (
+            "https://a.com/p?utm_source=feed&ref=1&utm_medium=rss",
+            "https://a.com/p?ref=1",
+        ),
+        # all params were trackers -> trailing '?' cleaned
+        ("https://a.com/p?utm_source=feed", "https://a.com/p"),
+        # no scheme/host match -> unchanged apart from rules
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            urls.canonical_url_col(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_canonical_url_duckdb_twin_matches(spark):
+    import duckdb
+
+    samples = [
+        "HTTPS://Host.COM/A/b?utm_x=1&ref=2#frag",
+        "http://h/p?utm_a=1&utm_b=2",
+        "https://h/p?keep=1",
+        "ftp://UPPER.host/Z",
+    ]
+    df = spark.createDataFrame([(u,) for u in samples], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            urls.canonical_url_col(F.col("url")).alias("c")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    expr = urls.duckdb_canonical_url_sql("url")
+    exp = [
+        con.execute(f"SELECT {expr} AS c FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        for u in samples
+    ]
+    assert got == exp
