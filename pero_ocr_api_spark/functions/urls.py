@@ -6,11 +6,16 @@ match).
 Pure JVM column expressions (regexp only, RE2-compatible — no
 lookarounds) with byte-identical DuckDB twins:
 
-* scheme+host lowercased (path/query case preserved — path case is
-  significant per RFC 3986, host case is not);
+* scheme and HOST lowercased — and only those: path/query case is
+  significant per RFC 3986, and so is any ``user:password@`` userinfo
+  component, which is preserved verbatim (review finding: a blanket
+  authority case-fold corrupted credentials and merged distinct
+  resources);
 * ``#fragment`` stripped;
-* ``utm_*`` tracking parameters stripped (plus any separator they
-  carried), trailing ``?``/``&`` cleaned.
+* ``utm_*`` tracking parameters stripped — anchored to a ``?``/``&``
+  separator so a path segment or a parameter merely *containing*
+  "utm_" is never touched (review finding); trailing ``?``/``&``
+  cleaned.
 
 Reference analog: the request-URL handling at app/main/routes.py —
 the reference keys work on normalized identifiers; this is the same
@@ -22,25 +27,50 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
-_UTM_RE = "utm_[a-zA-Z0-9_]+=[^&#]*&?"
+_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_HOST_RE = _SCHEME_RE + "[^/?#]*"
+# anchored: the param NAME must start right after a ?/& separator.
+# The separator is captured and re-emitted, and the param's trailing
+# '&' (if any) is consumed — so '?utm_a=1&ref=2' -> '?ref=2'. Because
+# regex scanning resumes AFTER the emitted separator, two ADJACENT
+# utm params need a second pass: each pass removes every other param
+# of an adjacent run, so _UTM_PASSES passes handle runs up to
+# 2^passes (8 adjacent trackers — beyond anything real).
+_UTM_RE = "([?&])utm_[a-zA-Z0-9_]+=[^&#]*&?"
+_UTM_PASSES = 3
 _TRAIL_RE = "[?&]+$"
 
 
 def canonical_url_col(url: Column) -> Column:
     """Canonical form of a URL column (see module docstring)."""
-    head = F.lower(F.regexp_extract(url, _HOST_RE, 0))
+    head = F.regexp_extract(url, _HOST_RE, 0)
+    scheme = F.lower(F.regexp_extract(head, _SCHEME_RE, 0))
+    auth = F.regexp_replace(head, _SCHEME_RE, "")
+    userinfo = F.regexp_extract(auth, "^([^@]*@)", 1)
+    host = F.lower(F.regexp_replace(auth, "^[^@]*@", ""))
     rest = F.regexp_replace(url, _HOST_RE, "")
-    no_frag = F.regexp_replace(F.concat(head, rest), "#.*$", "")
-    no_utm = F.regexp_replace(no_frag, _UTM_RE, "")
-    return F.regexp_replace(no_utm, _TRAIL_RE, "")
+    out = F.regexp_replace(
+        F.concat(scheme, userinfo, host, rest), "#.*$", ""
+    )
+    for _ in range(_UTM_PASSES):
+        out = F.regexp_replace(out, _UTM_RE, "$1")
+    return F.regexp_replace(out, _TRAIL_RE, "")
 
 
 def duckdb_canonical_url_sql(expr: str) -> str:
     """DuckDB twin of :func:`canonical_url_col` ('g' flags where Spark
-    replaces globally by default)."""
-    head = f"lower(regexp_extract({expr}, '{_HOST_RE}'))"
+    replaces globally by default; regexp_extract misses coalesced to
+    '' to match Spark's empty-string-on-no-match)."""
+    head = f"coalesce(regexp_extract({expr}, '{_HOST_RE}'), '')"
+    scheme = f"lower(coalesce(regexp_extract({head}, '{_SCHEME_RE}'), ''))"
+    auth = f"regexp_replace({head}, '{_SCHEME_RE}', '')"
+    userinfo = f"coalesce(regexp_extract({auth}, '^([^@]*@)', 1), '')"
+    host = f"lower(regexp_replace({auth}, '^[^@]*@', ''))"
     rest = f"regexp_replace({expr}, '{_HOST_RE}', '')"
-    no_frag = f"regexp_replace({head} || {rest}, '#.*$', '')"
-    no_utm = f"regexp_replace({no_frag}, '{_UTM_RE}', '', 'g')"
-    return f"regexp_replace({no_utm}, '{_TRAIL_RE}', '')"
+    out = (
+        f"regexp_replace({scheme} || {userinfo} || {host} || {rest}, "
+        f"'#.*$', '')"
+    )
+    for _ in range(_UTM_PASSES):
+        out = f"regexp_replace({out}, '{_UTM_RE}', '\\1', 'g')"
+    return f"regexp_replace({out}, '{_TRAIL_RE}', '')"

@@ -119,17 +119,15 @@ def process_media(
         elif media_kind == "application/pdf":
             try:
                 pdf_lines = pdf.extract_text(media_bytes)
-            except pdf.PdfError as exc:
-                # scanned-PDF fallback: ONLY when the file genuinely
-                # has no text operators (image XObjects are already
-                # skipped by extract_text). Any other PdfError —
-                # encrypted, unsupported filter, corrupt structure —
-                # re-raises → INVALID_FILE: re-routing a broken TEXT
-                # pdf to image OCR would silently discard its text
-                # (review finding). A no-text PDF with no decodable
-                # page images re-raises from extract_page_images.
-                if "no text content streams" not in str(exc):
-                    raise
+            except pdf.NoTextPdfError:
+                # scanned-PDF fallback: ONLY on the typed no-text
+                # signal (image XObjects are already skipped by
+                # extract_text). Any other PdfError — encrypted,
+                # unsupported filter, corrupt structure — propagates
+                # → INVALID_FILE: re-routing a broken TEXT pdf to
+                # image OCR would silently discard its text (review
+                # finding). A no-text PDF with no decodable page
+                # images re-raises from extract_page_images.
                 gray = _stack_pages(pdf.extract_page_images(media_bytes))
         else:
             raise png.PngError(f"unsupported media_kind {media_kind!r}")

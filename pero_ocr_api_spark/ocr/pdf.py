@@ -72,6 +72,12 @@ class PdfError(ValueError):
     pass
 
 
+class NoTextPdfError(PdfError):
+    """Structurally valid PDF with no text content streams — the
+    typed scanned-PDF signal the kernel routes on (never matched by
+    message text, review finding)."""
+
+
 # ------------------------------------------------------------- writer ---
 
 
@@ -494,25 +500,30 @@ def _last_top_dict(full: bytes) -> bytes:
     real-PDF layout) — keys like /Subtype or /Filter would then be
     read from the wrong object (review finding: a font's /Subtype
     /Type1 shadowed an image XObject's /Subtype /Image). A depth scan
-    keeps only the stream's own dictionary."""
+    keeps only the stream's own dictionary.
+
+    Robustness (second review finding): the capture can also traverse
+    a previous stream's BINARY payload, where stray 0x3C3C/0x3E3E byte
+    pairs are expected noise — depth is therefore clamped at 0 (a '>>'
+    with no open dict is junk, not structure), so unbalanced garbage
+    can never push the scan negative and starve the real dict; a stray
+    unmatched '<<' merely widens the final span, which the first-match
+    key regexes tolerate exactly as the pre-fix code did. Token
+    positions come from one C-level finditer, not a per-byte loop."""
     depth = 0
     start = None
     last = None
-    i, n = 0, len(full)
-    while i < n - 1:
-        two = full[i : i + 2]
-        if two == b"<<":
+    for m in re.finditer(rb"<<|>>", full):
+        if m.group() == b"<<":
             if depth == 0:
-                start = i
+                start = m.start()
             depth += 1
-            i += 2
-        elif two == b">>":
+        else:
+            if depth == 0:
+                continue  # junk '>>' inside binary data — not structure
             depth -= 1
             if depth == 0 and start is not None:
-                last = (start, i + 2)
-            i += 2
-        else:
-            i += 1
+                last = (start, m.end())
     return full[last[0] + 2 : last[1] - 2] if last else full
 
 
@@ -1125,7 +1136,7 @@ def extract_text(data: bytes) -> list[str]:
         saw_content = True
         _text_from_content(content, lines)
     if not saw_content:
-        raise PdfError("no text content streams found")
+        raise NoTextPdfError("no text content streams found")
     return lines
 
 

