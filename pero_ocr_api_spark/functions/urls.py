@@ -32,13 +32,18 @@ _HOST_RE = _SCHEME_RE + "[^/?#]*"
 # anchored: the param NAME must start right after a ?/& separator.
 # The separator is captured and re-emitted, and the param's trailing
 # '&' (if any) is consumed — so '?utm_a=1&ref=2' -> '?ref=2'. Because
-# regex scanning resumes AFTER the emitted separator, two ADJACENT
-# utm params need a second pass: each pass removes every other param
-# of an adjacent run, so _UTM_PASSES passes handle runs up to
-# 2^passes (8 adjacent trackers — beyond anything real).
+# regex scanning resumes AFTER the emitted separator, adjacent utm
+# params need further passes: each pass halves an adjacent run
+# (k -> ceil(k/2)), so `p` passes clear runs up to 2^p - 1 —
+# _UTM_PASSES=4 clears 15 adjacent trackers (beyond anything real).
 _UTM_RE = "([?&])utm_[a-zA-Z0-9_]+=[^&#]*&?"
-_UTM_PASSES = 3
-_TRAIL_RE = "[?&]+$"
+_UTM_PASSES = 4
+# \z (true end of input), never $: Java's $ matches BEFORE a final
+# newline while RE2's does not — the one anchor whose semantics
+# diverge between the two engines (review finding; same reason the
+# fragment strip uses [\s\S]* instead of .*$)
+_TRAIL_RE = "[?&]+\\z"
+_FRAG_RE = "#[\\s\\S]*"
 
 
 def canonical_url_col(url: Column) -> Column:
@@ -46,11 +51,13 @@ def canonical_url_col(url: Column) -> Column:
     head = F.regexp_extract(url, _HOST_RE, 0)
     scheme = F.lower(F.regexp_extract(head, _SCHEME_RE, 0))
     auth = F.regexp_replace(head, _SCHEME_RE, "")
-    userinfo = F.regexp_extract(auth, "^([^@]*@)", 1)
-    host = F.lower(F.regexp_replace(auth, "^[^@]*@", ""))
+    # userinfo runs to the LAST '@' (greedy) — the WHATWG parse; a raw
+    # '@' inside credentials stays credential-cased (review finding)
+    userinfo = F.regexp_extract(auth, "^(.*@)", 1)
+    host = F.lower(F.regexp_replace(auth, "^.*@", ""))
     rest = F.regexp_replace(url, _HOST_RE, "")
     out = F.regexp_replace(
-        F.concat(scheme, userinfo, host, rest), "#.*$", ""
+        F.concat(scheme, userinfo, host, rest), _FRAG_RE, ""
     )
     for _ in range(_UTM_PASSES):
         out = F.regexp_replace(out, _UTM_RE, "$1")
@@ -64,12 +71,12 @@ def duckdb_canonical_url_sql(expr: str) -> str:
     head = f"coalesce(regexp_extract({expr}, '{_HOST_RE}'), '')"
     scheme = f"lower(coalesce(regexp_extract({head}, '{_SCHEME_RE}'), ''))"
     auth = f"regexp_replace({head}, '{_SCHEME_RE}', '')"
-    userinfo = f"coalesce(regexp_extract({auth}, '^([^@]*@)', 1), '')"
-    host = f"lower(regexp_replace({auth}, '^[^@]*@', ''))"
+    userinfo = f"coalesce(regexp_extract({auth}, '^(.*@)', 1), '')"
+    host = f"lower(regexp_replace({auth}, '^.*@', ''))"
     rest = f"regexp_replace({expr}, '{_HOST_RE}', '')"
     out = (
         f"regexp_replace({scheme} || {userinfo} || {host} || {rest}, "
-        f"'#.*$', '')"
+        f"'{_FRAG_RE}', '')"
     )
     for _ in range(_UTM_PASSES):
         out = f"regexp_replace({out}, '{_UTM_RE}', '\\1', 'g')"

@@ -216,17 +216,47 @@ def test_last_top_dict_survives_binary_junk_brackets():
 
 
 def test_scanned_pdf_with_bracket_noise_in_payload_roundtrips():
-    """End-to-end: an image whose JPEG payload contains literal
-    '>>'/'<<' byte runs must still parse (the next stream's dict scan
-    traverses this payload)."""
-    img, _ = _page()
-    body = pdf.encode_scanned_pdf([img, img[:16, :16].copy()])
-    # verify the hazard is actually present in at least one payload,
-    # else inject it via a harmless COM segment in the first JPEG
-    if b">>" not in body[body.find(b"stream") :]:
-        pytest.skip("no bracket noise present")
+    """End-to-end: a stream payload containing literal '>>'/'<<' byte
+    runs (injected via a COM segment in the first page's JPEG) must
+    not poison the NEXT stream's dict scan — the depth-clamped
+    _last_top_dict path, exercised for real this time (review
+    finding: the first version of this test never injected noise)."""
+    img = np.arange(16 * 24, dtype=np.uint8).reshape(16, 24)
+    noise = b">>>>\x01>><<\x02<<junk>>"
+    enc = jpeg.encode_gray(img)
+    # splice a COM segment (decoder skips it) right after SOI
+    com = b"\xff\xfe" + (len(noise) + 2).to_bytes(2, "big") + noise
+    noisy = enc[:2] + com + enc[2:]
+    assert noise in noisy
+    img2 = np.full((8, 8), 9, dtype=np.uint8)
+    enc2 = jpeg.encode_gray(img2)
+
+    def image_obj(num, payload, w, h):
+        return (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+            % (w, h, len(payload), payload)
+        )
+
+    body = pdf._assemble_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 24 16] "
+            b"/Contents 5 0 R /Resources << /XObject << /Im1 5 0 R >> >> >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 8 8] "
+            b"/Contents 6 0 R /Resources << /XObject << /Im1 6 0 R >> >> >>",
+            image_obj(5, noisy, 24, 16),
+            image_obj(6, enc2, 8, 8),
+        ]
+    )
     imgs = pdf.extract_page_images(body)
     assert len(imgs) == 2
+    # the noisy payload decodes (COM skipped) AND the following
+    # image's dict survived the bracket junk in payload 1
+    assert imgs[0].shape == (16, 24) and imgs[1].shape == (8, 8)
+    assert np.abs(imgs[0].astype(int) - img.astype(int)).max() <= 2
 
 
 def test_text_pdf_with_embedded_image_keeps_its_text():

@@ -96,6 +96,13 @@ def test_canonical_url_col(spark):
             "https://a.com/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&ref=5",
             "https://a.com/p?ref=5",
         ),
+        # 8 adjacent trackers: 4 passes clear runs up to 2^4-1 = 15
+        (
+            "https://a.com/p?" + "&".join(f"utm_{i}=v{i}" for i in range(8)) + "&ref=9",
+            "https://a.com/p?ref=9",
+        ),
+        # credentials with a raw '@': userinfo runs to the LAST '@'
+        ("https://a@B@Host.COM/p", "https://a@B@host.com/p"),
         # all params were trackers -> trailing '?' cleaned
         ("https://a.com/p?utm_source=feed", "https://a.com/p"),
         # a PATH segment containing 'utm_' is data, not a tracker
@@ -134,6 +141,11 @@ def test_canonical_url_duckdb_twin_matches(spark):
         "ftp://UPPER.host/Z",
         "https://U:Pw@H.io/p?utm_a=1&utm_b=2&utm_c=3&x=1",
         "https://a.com/utm_k=v/page?xutm_s=1",
+        # trailing newline: Java '$' matches before it, RE2's does not
+        # -> \z / [\s\S] anchors keep the engines byte-identical
+        "https://A.com/p#frag\n",
+        "https://A.com/p?utm_x=1&\n",
+        "https://x@Y@Host.io/P",
     ]
     df = spark.createDataFrame([(u,) for u in samples], "url string")
     got = [
