@@ -30,6 +30,13 @@ cheap-filter → exact-verify order:
                        component: pairwise drop-the-higher-id
                        under-dedups chain-shaped dup graphs because
                        near-dup similarity is not transitive;
+4d. incremental      — (with --band-index / --embedding-index) drop
+                       batch docs that near-dup the HISTORICAL corpus
+                       via the persistent bucketed indexes
+                       (jobs/build_dedup_index.py): the corpus was
+                       hashed once at index-build time, only the batch
+                       hashes here, verification is candidates-only —
+                       the daily-ingest shape; history wins;
 5. mix sampling      — deterministic md5-hash stratified sampling by
                        lang (reproducible across runs/cluster sizes;
                        unlisted langs keep 100%).
@@ -97,11 +104,51 @@ def parse_args(argv):
         "bigram log-probability under the survivors' own corpus model "
         "(CCNet-style perplexity tail cut)",
     )
+    p.add_argument(
+        "--band-index",
+        default=None,
+        help="persistent text LSH band index TABLE (written by "
+        "jobs/build_dedup_index.py): additionally drop batch docs that "
+        "near-dup the HISTORICAL corpus — only the batch is hashed "
+        "(plans/io.band_index_candidates); requires --corpus for the "
+        "candidates-only Jaccard verify",
+    )
+    p.add_argument(
+        "--corpus",
+        default=None,
+        help="historical corpus documents path (doc_id, text) — the "
+        "verify side of --band-index",
+    )
+    p.add_argument(
+        "--embedding-index",
+        default=None,
+        help="persistent embedding ANN band index TABLE "
+        "(build_dedup_index.py --embeddings): additionally drop batch "
+        "docs whose embedding near-dups the historical corpus — only "
+        "the batch is hashed (plans/io.embedding_index_candidates); "
+        "requires --embeddings (batch vectors) and --corpus-embeddings "
+        "(historical vectors) for the exact-cosine verify",
+    )
+    p.add_argument(
+        "--corpus-embeddings",
+        default=None,
+        help="historical corpus embeddings path (vec_id, embedding) — "
+        "the verify side of --embedding-index",
+    )
     p.add_argument("--no-sampling", action="store_true")
     p.add_argument("--cores", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
     if args.lm_tail_pct is not None and not (0 < args.lm_tail_pct < 100):
         p.error("--lm-tail-pct must be in (0, 100)")
+    if args.band_index and not args.corpus:
+        p.error("--band-index requires --corpus")
+    if args.embedding_index and not (
+        args.embeddings and args.corpus_embeddings
+    ):
+        p.error(
+            "--embedding-index requires --embeddings and "
+            "--corpus-embeddings"
+        )
     return args
 
 
@@ -309,6 +356,103 @@ def main(argv=None) -> int:
             "skew": cc_skew,
         }
 
+    # -- 4d: incremental dedup vs the HISTORICAL corpus indexes ----------
+    # (the daily-ingest shape: the corpus was hashed ONCE at index-build
+    # time — jobs/build_dedup_index.py — and only the batch is hashed
+    # here; verification is candidates-only on both sides. Batch docs
+    # matching the corpus are dropped unconditionally: history wins.)
+    incr_report: dict = {}
+    if args.band_index:
+        from pero_ocr_api_spark.plans.io import band_index_candidates
+
+        batch_docs = docs.join(deduped.select("doc_id"), "doc_id").select(
+            "doc_id", "text"
+        )
+        cand = band_index_candidates(
+            spark, batch_docs, args.band_index
+        ).cache()
+        n_cand = cand.count()
+        sh_b = batch_docs.join(
+            cand.select(F.col("batch_id").alias("doc_id")).distinct(),
+            "doc_id",
+        ).select(
+            F.col("doc_id").alias("batch_id"),
+            dedup.shingles_col(F.col("text")).alias("shb"),
+        )
+        corpus_texts = spark.read.parquet(args.corpus).select(
+            F.col("doc_id").cast("long").alias("corpus_id"),
+            F.col("text").alias("corpus_text"),
+        )
+        sh_c = corpus_texts.join(
+            cand.select("corpus_id").distinct(), "corpus_id"
+        ).select(
+            "corpus_id",
+            dedup.shingles_col(F.col("corpus_text")).alias("shc"),
+        )
+        drops = (
+            cand.join(sh_b, "batch_id")
+            .join(sh_c, "corpus_id")
+            .filter(
+                dedup.jaccard_col(F.col("shb"), F.col("shc"))
+                >= args.jaccard
+            )
+            .select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+        )
+        deduped = deduped.join(drops, "doc_id", "left_anti")
+        n_after = deduped.count()
+        cand.unpersist()
+        incr_report["incremental_text"] = {
+            "candidates": n_cand,
+            "after_incremental_text_dedup": n_after,
+        }
+    if args.embedding_index:
+        from pero_ocr_api_spark.operators import similarity
+        from pero_ocr_api_spark.plans.io import embedding_index_candidates
+
+        b_raw = (
+            spark.read.parquet(args.embeddings)
+            .select("vec_id", "embedding")
+            .join(deduped.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        )
+        dim = b_raw.select(F.size("embedding").alias("d")).first()
+        if dim is not None:  # empty batch: nothing to dedup
+            cand = embedding_index_candidates(
+                spark, b_raw, args.embedding_index, dim["d"]
+            ).cache()
+            n_cand = cand.count()
+            b_emb = similarity._with_norm(b_raw).select(
+                F.col("vec_id").alias("batch_id"),
+                F.col("v").alias("bv"),
+                F.col("norm").alias("bn"),
+            )
+            c_emb = similarity._with_norm(
+                spark.read.parquet(args.corpus_embeddings).select(
+                    "vec_id", "embedding"
+                )
+            ).select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("v").alias("cv"),
+                F.col("norm").alias("cn"),
+            )
+            cos = similarity.dot_col(F.col("bv"), F.col("cv")) / (
+                F.col("bn") * F.col("cn")
+            )
+            drops = (
+                cand.join(b_emb, "batch_id")
+                .join(c_emb, "corpus_id")
+                .filter(cos >= args.cosine)
+                .select(F.col("batch_id").alias("doc_id"))
+                .distinct()
+            )
+            deduped = deduped.join(drops, "doc_id", "left_anti")
+            n_after = deduped.count()
+            cand.unpersist()
+            incr_report["incremental_embedding"] = {
+                "candidates": n_cand,
+                "after_incremental_embedding_dedup": n_after,
+            }
+
     # -- 5: deterministic stratified mix sampling ------------------------
     if args.no_sampling:
         kept = deduped.select("doc_id")
@@ -356,6 +500,8 @@ def main(argv=None) -> int:
         funnel["after_embedding_dedup"] = emb_report["after_embedding_dedup"]
     if closure_report is not None:
         funnel["closure"] = closure_report
+    for fam, rep in incr_report.items():
+        funnel[fam] = rep
 
     print(
         json.dumps(

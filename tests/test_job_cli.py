@@ -555,3 +555,114 @@ def test_pack_job_kept_filter(spark):
     assert report["input_docs"] == 100  # 500-doc corpus filtered to ids < 100
     blocks = spark.read.parquet(f"{d}/packed")
     assert report["n_tokens"] == blocks.agg(F.sum("n_tokens")).first()[0]
+
+
+def test_curate_job_incremental_index_stages(spark):
+    """--band-index / --embedding-index: the daily-ingest shape — the
+    historical corpus is hashed ONCE (build_dedup_index tables), the
+    batch is deduped against it with candidates-only verification.
+    Constructed batch: a text near-twin of a corpus doc (dropped by
+    the band index), a doc whose EMBEDDING twins a corpus vector but
+    whose text is novel (dropped by the embedding index), and a fully
+    novel doc (kept)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import curate_job
+
+    from pero_ocr_api_spark.plans.io import (
+        write_band_index,
+        write_embedding_index,
+    )
+
+    d = tempfile.mkdtemp()
+    corpus_path = "/root/testdata/sf0.001/documents.parquet"
+    t_text, t_emb = "curate_incr_text_idx", "curate_incr_emb_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {t_text}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_emb}")
+    try:
+        # learn three docs that survive the text funnel (their texts
+        # pass the quality gates, so mutations of them will too)
+        with redirect_stdout(_io.StringIO()):
+            assert curate_job.main(
+                ["--documents", corpus_path, "--output", f"{d}/k0",
+                 "--no-sampling"]
+            ) == 0
+        surv = sorted(r.doc_id for r in spark.read.parquet(f"{d}/k0").collect())
+        a, b, c = surv[0], surv[len(surv) // 2], surv[-1]
+        corpus = spark.read.parquet(corpus_path)
+        rows = {
+            r["doc_id"]: r
+            for r in corpus.filter(F.col("doc_id").isin([a, b, c])).collect()
+        }
+
+        def reversed_text(t):
+            return " ".join(reversed(t.split()))
+
+        batch_rows = [
+            # 10001: text near-twin of corpus doc a -> band-index drop
+            (10001, rows[a]["text"] + " extra suffix", rows[a]["lang"],
+             rows[a]["source"]),
+            # 10002: novel text (reversed words keep lang/quality stats)
+            # but embedding twins corpus doc a -> embedding-index drop
+            (10002, reversed_text(rows[b]["text"]), rows[b]["lang"],
+             rows[b]["source"]),
+            # 10003: novel text + own embedding -> kept
+            (10003, reversed_text(rows[c]["text"]), rows[c]["lang"],
+             rows[c]["source"]),
+        ]
+        spark.createDataFrame(
+            batch_rows, "doc_id long, text string, lang string, source string"
+        ).write.parquet(f"{d}/batch")
+
+        # historical indexes: corpus hashed once
+        write_band_index(spark, corpus, t_text, buckets=4)
+        rng = np.random.default_rng(11)
+        c_vecs = {
+            int(r["doc_id"]): rng.normal(size=16).astype("float64")
+            for r in corpus.select("doc_id").collect()
+        }
+        c_emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in sorted(c_vecs.items())],
+            "vec_id long, embedding array<float>",
+        )
+        c_emb.write.mode("overwrite").parquet(f"{d}/c_emb")
+        write_embedding_index(spark, c_emb, t_emb, dim=16, buckets=4)
+
+        # batch embeddings: 10002 twins corpus doc a; others are novel
+        b_vecs = {
+            10001: rng.normal(size=16),
+            10002: c_vecs[a] * 1.1,
+            10003: rng.normal(size=16),
+        }
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in sorted(b_vecs.items())],
+            "vec_id long, embedding array<float>",
+        ).write.parquet(f"{d}/b_emb")
+
+        argv = [
+            "--documents", f"{d}/batch",
+            "--output", f"{d}/kept",
+            "--no-sampling",
+            "--band-index", t_text, "--corpus", corpus_path,
+            "--embedding-index", t_emb,
+            "--embeddings", f"{d}/b_emb",
+            "--corpus-embeddings", f"{d}/c_emb",
+        ]
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            assert curate_job.main(argv) == 0
+        report = json.loads(buf.getvalue().strip().splitlines()[-1])
+        f = report["funnel"]
+        assert f["incremental_text"]["candidates"] >= 1
+        assert f["incremental_embedding"]["candidates"] >= 1
+        kept = {r.doc_id for r in spark.read.parquet(f"{d}/kept").collect()}
+        assert 10001 not in kept  # text twin of the corpus
+        assert 10002 not in kept  # embedding twin of the corpus
+        assert 10003 in kept      # genuinely novel
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_text}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_emb}")
