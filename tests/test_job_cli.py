@@ -581,8 +581,20 @@ def test_curate_job_incremental_index_stages(spark):
     d = tempfile.mkdtemp()
     corpus_path = "/root/testdata/sf0.001/documents.parquet"
     t_text, t_emb = "curate_incr_text_idx", "curate_incr_emb_idx"
-    spark.sql(f"DROP TABLE IF EXISTS {t_text}")
-    spark.sql(f"DROP TABLE IF EXISTS {t_emb}")
+    # Hermeticity: a previous session interrupted mid-saveAsTable leaves
+    # the managed-table *directory* behind while a fresh session's
+    # catalog has no entry for it — DROP TABLE IF EXISTS is then a
+    # no-op and write_band_index dies with LOCATION_ALREADY_EXISTS
+    # (self-perpetuating: every failed run re-creates the orphan).
+    # Purge both catalog entry AND warehouse location up front.
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (t_text, t_emb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     try:
         # learn three docs that survive the text funnel (their texts
         # pass the quality gates, so mutations of them will too)
