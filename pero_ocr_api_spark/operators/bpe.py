@@ -123,39 +123,33 @@ def bpe_train(
     (merge_rank, p1, p2). Stops early when no pair remains."""
     spark = docs.sparkSession
     words = word_table(docs, text_col).localCheckpoint(eager=True)
-    merge_rows: list[DataFrame] = []
+    merge_rows: list[tuple[int, str, str]] = []
     for r in range(1, n_merges + 1):
-        best = (
+        # Per-round argmax: TakeOrdered top-1 collected to the driver —
+        # ONE row of training state (two symbol strings), the same
+        # bytes the old localCheckpoint+count pair materialized, at one
+        # Spark job per round instead of two; the merge pair is then a
+        # pair of literals in the fold, removing the per-round
+        # broadcast join from the word-table update as well.
+        top = (
             _pair_counts(words)
             .orderBy(F.desc("n"), F.asc("p1"), F.asc("p2"))
             .limit(1)
             .select("p1", "p2")
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        if best.count() == 0:
+        if not top:
             break
-        merge_rows.append(
-            best.select(F.lit(r).alias("merge_rank"), "p1", "p2")
-        )
-        words = (
-            words.join(F.broadcast(best), F.lit(True), "left")
-            .select(
-                "word",
-                "cnt",
-                _apply_merge(
-                    F.col("syms"), F.col("p1"), F.col("p2")
-                ).alias("syms"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    if merge_rows:
-        merges = merge_rows[0]
-        for m in merge_rows[1:]:
-            merges = merges.unionByName(m)
-    else:
-        merges = spark.createDataFrame(
-            [], "merge_rank int, p1 string, p2 string"
-        )
+        p1, p2 = top[0]["p1"], top[0]["p2"]
+        merge_rows.append((r, p1, p2))
+        words = words.select(
+            "word",
+            "cnt",
+            _apply_merge(F.col("syms"), F.lit(p1), F.lit(p2)).alias("syms"),
+        ).localCheckpoint(eager=True)
+    merges = spark.createDataFrame(
+        merge_rows, "merge_rank int, p1 string, p2 string"
+    )
     return words, merges
 
 
@@ -203,35 +197,56 @@ def bpe_encode_docs(
         F.col(id_col),
         F.posexplode(tokens_col(F.col(text_col))).alias("pos", "word"),
     )
-    seg = toks.join(
-        segments.select("word", "syms"), "word", "left"
-    ).select(
-        F.col(id_col),
-        "pos",
-        F.coalesce(F.col("syms"), char_syms_col(F.col("word"))).alias(
-            "syms"
-        ),
+    # The (word → piece-id string) mapping is computed once per
+    # DISTINCT word — the vocabulary-sized model surface — instead of
+    # exploding pieces per token OCCURRENCE: the occurrence stream then
+    # pays ONE equi-join and one per-doc aggregate, and the piece
+    # explode + vocab join run over the distinct-word table only.
+    # Unseen words keep the documented char-segmentation fallback (the
+    # distinct-word table is built from the encode-side corpus, so the
+    # fallback rides the same mapping join).
+    wdist = toks.select("word").distinct()
+    wsyms = wdist.join(segments.select("word", "syms"), "word", "left").select(
+        "word",
+        F.coalesce(F.col("syms"), char_syms_col(F.col("word"))).alias("syms"),
     )
-    pieces = seg.select(
-        F.col(id_col),
-        "pos",
-        F.posexplode("syms").alias("spos", "piece"),
+    wpieces = wsyms.select(
+        "word", F.posexplode("syms").alias("spos", "piece")
     )
-    enc = pieces.join(
+    wenc = wpieces.join(
         vocab.select("piece", "piece_id"), "piece", "left"
     ).select(
-        F.col(id_col),
-        "pos",
+        "word",
         "spos",
         F.coalesce(F.col("piece_id"), F.lit(UNK_ID)).alias("tid"),
     )
-    ids_in_order = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "spos", "tid"))),
+    # per-word artifacts: ordered comma-joined id string (the exact
+    # substring this word contributes to ids_md5), piece count, UNK
+    # count — concatenating per-word strings in pos order reproduces
+    # the (pos, spos)-ordered id stream byte-for-byte
+    ids_of_word = F.transform(
+        F.array_sort(F.collect_list(F.struct("spos", "tid"))),
         lambda s: s["tid"].cast("string"),
     )
+    wmap = wenc.groupBy("word").agg(
+        F.concat_ws(",", ids_of_word).alias("ids_str"),
+        F.count("*").alias("n_pieces_w"),
+        F.sum((F.col("tid") == UNK_ID).cast("long")).alias("n_unk_w"),
+    )
+    # broadcast the vocabulary-sized mapping, NOT the occurrence
+    # stream: the scan-side size estimate (a few MB of parquet) makes
+    # Catalyst pick the 10^2x larger exploded stream as build side
+    # otherwise
+    enc = toks.join(F.broadcast(wmap), "word").select(
+        F.col(id_col), "pos", "ids_str", "n_pieces_w", "n_unk_w"
+    )
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "ids_str"))),
+        lambda s: s["ids_str"],
+    )
     return enc.groupBy(id_col).agg(
-        F.count("*").alias("n_pieces"),
-        F.sum((F.col("tid") == UNK_ID).cast("long")).alias("n_unk"),
+        F.sum("n_pieces_w").alias("n_pieces"),
+        F.sum("n_unk_w").alias("n_unk"),
         F.md5(F.concat_ws(",", ids_in_order).cast("binary")).alias(
             "ids_md5"
         ),

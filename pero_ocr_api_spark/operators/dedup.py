@@ -95,6 +95,34 @@ def word_ngram_ints_col(text: Column, n: int) -> Column:
     )
 
 
+def exploded_word_ngram_hashes(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, h) rows — one per word-n-gram OCCURRENCE (duplicates kept;
+    callers needing per-doc set semantics aggregate/distinct downstream).
+    Same md5 values as :func:`word_ngram_ints_col`; no rows when the
+    text has fewer than n tokens.
+
+    Why this exists: the array form builds every gram inside a
+    ``transform`` lambda, and higher-order functions are evaluated on
+    the interpreted expression path — measured ~20x slower than this
+    position-explode + flat-projection shape, where the gram concat and
+    md5 run inside whole-stage codegen (guide §4.1: prefer built-ins
+    that codegen; a lambda per gram is the expression-level analog of a
+    row-at-a-time UDF)."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    pos = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(0), F.size("_t") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select(F.col(id_col), F.col("_t"), F.explode(pos).alias("_i"))
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("_t"), F.col("_i") + j + 1) for j in range(n)],
+    )
+    return ex.select(F.col(id_col), md5_int_col(gram, 7).alias("h"))
+
+
 def duckdb_word_ngram_ints_sql(expr: str, n: int) -> str:
     toks = duckdb_tokens_sql(expr)
     grams = (
@@ -220,6 +248,46 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def exploded_shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, h) rows — one per word-3-gram shingle OCCURRENCE (duplicates
+    kept), md5-hashed with the same values as
+    ``transform(shingles_col(text), md5_int_col)``; texts with fewer
+    than SHINGLE_N tokens emit the single whole-text fallback shingle,
+    exactly like :func:`shingles_col`.
+
+    Flat position-explode + codegen projection: the gram concat and md5
+    run in whole-stage codegen instead of an interpreted per-element
+    lambda (measured ~20x on the corpus scan). Only MIN-style consumers
+    (MinHash) may use this stream in place of the distinct arrays —
+    duplicate occurrences do not change a min."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("_t"), F.col(text_col).alias("_txt")
+    )
+    # position -1 marks the short-text fallback row (whole text as the
+    # only shingle) so the explode always emits >= 1 row per doc
+    pos = F.when(
+        F.size("_t") >= SHINGLE_N,
+        F.sequence(F.lit(0), F.size("_t") - SHINGLE_N),
+    ).otherwise(F.array(F.lit(-1)))
+    ex = base.select(
+        F.col(id_col), F.col("_t"), F.col("_txt"), F.explode(pos).alias("_i")
+    )
+    gram = F.when(
+        F.col("_i") >= 0,
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(F.col("_t"), F.col("_i") + j + 1)
+                for j in range(SHINGLE_N)
+            ],
+        ),
+    ).otherwise(F.trim(F.lower(F.col("_txt"))))
+    return ex.select(F.col(id_col), md5_int_col(gram, 7).alias("h"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -237,11 +305,17 @@ def minhash_signatures(
 
     Input is spread to the cluster parallelism first (see
     :func:`spread_to_parallelism` — a single-file scan would otherwise
-    serialize the hashing onto one core)."""
-    sh_ints = F.explode(
-        F.transform(shingles_col(F.col(text_col)), lambda s: md5_int_col(s, 7))
+    serialize the hashing onto one core).
+
+    The shingle-hash stream comes from :func:`exploded_shingle_hashes`
+    (position-explode + flat codegen projection, NOT a per-gram
+    ``transform`` lambda — the interpreted-HOF path was ~20x slower)
+    and keeps duplicate occurrences: ``min`` over a multiset equals
+    ``min`` over its distinct set, so signatures are bit-identical to
+    the array_distinct form."""
+    exploded = exploded_shingle_hashes(
+        spread_to_parallelism(df), id_col, text_col
     )
-    exploded = spread_to_parallelism(df).select(F.col(id_col), sh_ints.alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"_sig{i}"
@@ -586,17 +660,23 @@ def simhash_signatures(
     the same shape as :func:`minhash_signatures`, and the layout that
     survives a 100x scale-up. Token-hash width tracks `bits` (16-bit
     signatures suit histograms; near-pair joins want >=32 bits so
-    buckets don't collide quadratically on large corpora)."""
-    vals = F.explode(
-        F.transform(
-            F.array_distinct(tokens_col(F.col(text_col))),
-            lambda t: md5_int_col(t, bits // 4),
-        )
+    buckets don't collide quadratically on large corpora).
+
+    Two expression-level notes (same values, measured faster): the md5
+    is applied per exploded row in a flat codegen projection rather
+    than inside a ``transform`` lambda (interpreted path), and each
+    bit test is ``shiftright & 1`` instead of ``floor(h / 2^b) % 2`` —
+    identical for the non-negative md5-derived ints, without the
+    per-token double division."""
+    tok = F.explode(F.array_distinct(tokens_col(F.col(text_col))))
+    exploded = (
+        spread_to_parallelism(df)
+        .select(F.col(id_col), tok.alias("_tok"))
+        .select(F.col(id_col), md5_int_col(F.col("_tok"), bits // 4).alias("h"))
     )
-    exploded = spread_to_parallelism(df).select(F.col(id_col), vals.alias("h"))
     aggs = [
         F.sum(
-            (F.floor(F.col("h") / F.lit(2**b)).cast("long") % 2) * 2 - 1
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"_b{b}")
         for b in range(bits)
     ]

@@ -91,28 +91,51 @@ def bigram_lm_scores(
         .agg(F.count("*").alias("c1"))
     )
     voc = uni.agg(F.count("*").alias("v"))
+    # Flat bigram stream: explode adjacent positions and build each
+    # gram with codegen'd element_at/concat (the zip_with lambda form
+    # ran on the interpreted expression path); w1 is element_at, not a
+    # split_part re-parse of the gram string.
+    pos = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(0), F.size("t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     bg = toks.select(
-        F.col(id_col), F.explode(bigrams_col(F.col("t"))).alias("gram")
-    ).withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        F.col(id_col), F.col("t"), F.explode(pos).alias("_i")
+    ).select(
+        F.col(id_col),
+        F.concat(
+            F.element_at(F.col("t"), F.col("_i") + 1),
+            F.lit(" "),
+            F.element_at(F.col("t"), F.col("_i") + 2),
+        ).alias("gram"),
+    )
     # bigram model side: aggregate-then-equi-join (NOT a count window
     # over the occurrence stream — WindowExec partitions are not
-    # AQE-splittable, so the head gram would pin one task at scale)
-    gramc = bg.groupBy("gram").agg(F.count("*").alias("c2")).select(
-        F.col("gram").alias("g2"), "c2"
-    )
-    scored = (
-        bg.join(gramc, bg.gram == gramc.g2)
-        .join(uni, bg.w1 == uni.tok)
+    # AQE-splittable, so the head gram would pin one task at scale).
+    # The natural-language gram distribution means map-side partials
+    # collapse the occurrence stream to near-distinct-gram size before
+    # this exchange.
+    gramc = bg.groupBy("gram").agg(F.count("*").alias("c2"))
+    # Per-gram log-probability computed ONCE per DISTINCT gram on the
+    # model side (gramc ⋈ uni ⋈ voc runs at gram-distinct granularity);
+    # the occurrence stream then takes a single equi-join instead of
+    # two, and the final per-doc aggregate gets map-side partials
+    # (a doc's occurrences are co-located out of the explode).
+    model = (
+        gramc.withColumn(
+            "w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1))
+        )
+        .join(uni, F.col("w1") == uni.tok)
         .crossJoin(voc)
         .select(
-            F.col(id_col),
-            F.col("c2"),
+            F.col("gram").alias("g2"),
+            "c2",
             quant16(
                 F.log(F.col("c2") + F.lit(1.0))
                 - F.log(F.col("c1") + F.col("v") + F.lit(0.0))
             ).alias("lp"),
         )
     )
+    scored = bg.join(model, bg.gram == model.g2)
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.sum((F.col("c2") == 1).cast("long")).alias("novel_bigrams"),

@@ -1133,9 +1133,13 @@ def q_benchmark_contamination(spark: SparkSession, sf: str) -> DataFrame:
     benchmark item with all 9 window 8-grams shared.
 
     Scale shape: the benchmark side is small by definition (an eval
-    suite) → broadcast; the corpus side is one scan + explode of
-    distinct-gram hashes; the hit count is an integer aggregate —
-    no floats anywhere."""
+    suite) → broadcast; the corpus side is one scan + a flat
+    position-explode of gram-hash OCCURRENCES (codegen projection —
+    the per-gram ``transform`` lambda ran on the interpreted path and
+    was ~20x slower, guide §4.1); per-doc set semantics are recovered
+    AFTER the selective broadcast semi-join by counting DISTINCT
+    shared hashes, so only matching rows pay the dedup. The hit count
+    stays an integer aggregate — no floats anywhere."""
     docs = _docs(spark, sf)
     toks = dedup.tokens_col(F.col("text"))
     start = F.greatest(
@@ -1150,14 +1154,16 @@ def q_benchmark_contamination(spark: SparkSession, sf: str) -> DataFrame:
         "bench_id",
         F.explode(dedup.word_ngram_ints_col(F.col("btext"), CONTAM_N)).alias("h"),
     )
-    cgrams = dedup.spread_to_parallelism(docs).select(
-        "doc_id",
-        F.explode(dedup.word_ngram_ints_col(F.col("text"), CONTAM_N)).alias("h"),
+    cgrams = dedup.exploded_word_ngram_hashes(
+        dedup.spread_to_parallelism(docs), CONTAM_N
     )
     hits = (
         cgrams.join(F.broadcast(bgrams), "h")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("n_shared"))
+        # distinct-count restores word_ngram_ints_col's per-doc set
+        # semantics (count of DISTINCT shared grams) now that the
+        # corpus stream keeps duplicate occurrences
+        .agg(F.count_distinct(F.col("h")).alias("n_shared"))
     )
     return hits.filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
 
@@ -1926,20 +1932,35 @@ def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     should strip corpus-wide (C4 dropped its most frequent lines the
     same way).
 
-    Scale shape: explode distinct grams → groupBy count gets map-side
-    partial aggregation (one shuffle on the gram), and the final
-    top-k is a TakeOrdered over per-partition heaps — no global sort
-    materializes. Ties across the k-boundary are broken by the gram
-    text itself, so the result is deterministic in both engines.
+    Scale shape: flat position-explode of gram OCCURRENCES (codegen
+    projection — the per-gram ``transform`` + array_distinct lambda
+    ran interpreted and was the dominant cost) → count(DISTINCT
+    doc_id) per gram, which equals the old count over per-doc distinct
+    gram arrays; partial aggregation dedups (gram, doc) map-side. The
+    final top-k is a TakeOrdered over per-partition heaps — no global
+    sort materializes. Ties across the k-boundary are broken by the
+    gram text itself, so the result is deterministic in both engines.
     Reference analog: pero-ocr-api has no corpus analytics; this is
     a graft-required training-data addition (SURVEY.md §2)."""
     docs = _docs(spark, sf)
-    grams = dedup.spread_to_parallelism(docs).select(
-        F.explode(_ngram_texts_col(F.col("text"), TOP_NGRAM_N)).alias("gram")
+    toks = dedup.tokens_col(F.col("text"))
+    n = TOP_NGRAM_N
+    base = dedup.spread_to_parallelism(docs).select(
+        "doc_id", toks.alias("_t")
+    )
+    pos = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(0), F.size("_t") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("_t"), F.col("_i") + j + 1) for j in range(n)],
+    )
+    grams = base.select("doc_id", "_t", F.explode(pos).alias("_i")).select(
+        "doc_id", gram.alias("gram")
     )
     return (
         grams.groupBy("gram")
-        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .agg(F.count_distinct(F.col("doc_id")).cast("long").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(TOP_NGRAM_K)
     )
