@@ -380,9 +380,24 @@ def main(argv=None) -> int:
             dedup.shingles_col(F.col("text")).alias("shb"),
         )
         corpus_texts = spark.read.parquet(args.corpus).select(
+            F.col("doc_id").alias("_raw_id"),
             F.col("doc_id").cast("long").alias("corpus_id"),
             F.col("text").alias("corpus_text"),
         )
+        # fail-loud guard (round-5 advice): a non-numeric corpus doc_id
+        # casts to NULL, the sh_c join silently empties, and every
+        # band-index candidate would "fail verification" — incremental
+        # dedup becoming a no-op with no error. One narrow-column scan.
+        n_uncastable = corpus_texts.filter(
+            F.col("corpus_id").isNull() & F.col("_raw_id").isNotNull()
+        ).count()
+        if n_uncastable:
+            raise ValueError(
+                f"--corpus doc_id has {n_uncastable} values that do not "
+                "cast to long; the band index keys corpus ids as long, so "
+                "these rows would be dropped from verification silently"
+            )
+        corpus_texts = corpus_texts.drop("_raw_id")
         sh_c = corpus_texts.join(
             cand.select("corpus_id").distinct(), "corpus_id"
         ).select(

@@ -249,20 +249,36 @@ def encode_gray(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 
 def _unstuff(data: bytes) -> bytes:
     """Validate and strip byte stuffing from the entropy segment:
-    0xFF 0x00 -> 0xFF; 0xFF 0xD9 ends the stream; any other marker is
-    outside the subset (RSTn) or malformed. Vectorized — one numpy
-    scan instead of a per-byte Python loop."""
+    0xFF 0x00 -> 0xFF; 0xFF 0xD9 ends the stream; runs of 0xFF
+    immediately before the EOI are spec-legal optional fill
+    (T.81 B.1.1.2 — real encoders emit them) and are excluded from the
+    entropy data; any other marker is outside the subset (RSTn) or
+    malformed. Vectorized — one numpy scan instead of a per-byte
+    Python loop."""
     buf = np.frombuffer(data, dtype=np.uint8)
     ff = np.flatnonzero(buf == 0xFF)
     end = len(buf)
+    run_start = -1  # start of a pending 0xFF fill run
+    prev_ff = -2
     for i in ff:
         if i + 1 >= len(buf):
             raise JpegError("entropy stream truncated at 0xFF")
         nxt = buf[i + 1]
-        if nxt == 0x00:
+        in_run = run_start >= 0 and i == prev_ff + 1
+        if nxt == 0xFF:
+            # candidate fill byte — only legal if the run terminates in
+            # a marker; decided when the run's last 0xFF is reached
+            if not in_run:
+                run_start = int(i)
+            prev_ff = int(i)
             continue
-        if nxt == 0xD9:  # EOI
-            end = int(i)
+        if nxt == 0x00:
+            if in_run:
+                raise JpegError("0xFF fill bytes before non-marker data")
+            run_start = -1
+            continue
+        if nxt == 0xD9:  # EOI; exclude any preceding fill run
+            end = run_start if in_run else int(i)
             break
         if 0xD0 <= nxt <= 0xD7:
             raise JpegError("restart markers (DRI/RSTn) outside subset")
@@ -395,10 +411,16 @@ def decode_gray(data: bytes) -> np.ndarray:
     have = 0
     ptr = 0
     pos = 0
-    zz_all = np.zeros((bh * bw, 64), dtype=np.int64)
+    # Entropy decode accumulates (flat index, value) into Python lists
+    # and scatters into the coefficient plane ONCE at the end: a numpy
+    # scalar store per symbol (zz_all[bi][k] = v) costs ~10x a list
+    # append, and most coefficients are zero anyway (the encoder's
+    # flatnonzero walk is the mirror image). _extend() is inlined —
+    # one function call per symbol was ~15% of the loop.
+    idxs: list[int] = []
+    vals: list[int] = []
     prev_dc = 0
-    for bi in range(bh * bw):
-        z = zz_all[bi]
+    for base in range(0, bh * bw * 64, 64):
         # --- DC symbol
         while have < 16 and ptr < nbytes:
             acc = (acc << 8) | ent[ptr]
@@ -422,11 +444,15 @@ def decode_gray(data: bytes) -> np.ndarray:
                 acc = (acc << 8) | ent[ptr]
                 ptr += 1
                 have += 8
-            prev_dc += _extend((acc >> (have - s)) & ((1 << s) - 1), s)
+            bits = (acc >> (have - s)) & ((1 << s) - 1)
+            prev_dc += (
+                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+            )
             have -= s
             pos += s
         acc &= (1 << have) - 1
-        z[0] = prev_dc
+        idxs.append(base)
+        vals.append(prev_dc)
         # --- AC symbols
         k = 1
         while k < 64:
@@ -462,11 +488,21 @@ def decode_gray(data: bytes) -> np.ndarray:
                 acc = (acc << 8) | ent[ptr]
                 ptr += 1
                 have += 8
-            z[k] = _extend((acc >> (have - s)) & ((1 << s) - 1), s)
+            bits = (acc >> (have - s)) & ((1 << s) - 1)
+            idxs.append(base + k)
+            vals.append(
+                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+            )
             have -= s
             pos += s
             acc &= (1 << have) - 1
             k += 1
+    zz_all = np.zeros(bh * bw * 64, dtype=np.int64)
+    if idxs:
+        zz_all[np.array(idxs, dtype=np.int64)] = np.array(
+            vals, dtype=np.int64
+        )
+    zz_all = zz_all.reshape(bh * bw, 64)
     blocks = np.zeros((bh * bw, 64), dtype=np.float64)
     blocks[:, _ZIGZAG] = zz_all
     out_coefs = blocks.reshape(bh, bw, 8, 8) * qtab

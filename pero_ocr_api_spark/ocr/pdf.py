@@ -352,13 +352,23 @@ _COLORSPACE_RE = re.compile(rb"/ColorSpace\s*/([A-Za-z0-9]+)")
 
 
 def extract_page_images(data: bytes):
-    """Page raster images of a scanned PDF, document order: every
+    """Page raster images of a scanned PDF, BYTE order: every
     ``/Subtype /Image`` XObject that is 8-bit ``/DeviceGray``, either
     ``/Filter /DCTDecode`` (baseline grayscale JPEG — ocr/jpeg.py) or
     any text-subset filter chain yielding raw samples. Returns a list
     of HxW uint8 arrays; raises :class:`PdfError` when the file has no
     decodable page image (or is outside the subset: color images,
-    other bit depths, DCT cascades, encrypted files)."""
+    other bit depths, DCT cascades, encrypted files).
+
+    Supported-subset contract (round-5 advice, documented rather than
+    page-tree-walked): images are collected in raw byte/object order
+    and ALL matching image XObjects count as page content. A scanner-
+    produced PDF writes one full-page image per page in page order —
+    the target of this fallback — so byte order == reading order
+    there. A PDF whose objects are reordered, or which carries
+    unreferenced decorative/thumbnail DeviceGray images, is outside
+    the subset: correct handling would need the /Pages /Kids →
+    /Resources walk this text-first parser does not implement."""
     import numpy as np
 
     from pero_ocr_api_spark.ocr import jpeg as _jpeg

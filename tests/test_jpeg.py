@@ -299,3 +299,28 @@ def test_kernel_fake_pdf_still_invalid():
 def test_kernel_corrupt_jpeg_invalid():
     r = kernel.process_media(b"\xff\xd8garbage", "image/jpeg", "m_badjpg")
     assert r.state == kernel.STATE_INVALID_FILE
+
+
+def test_fill_bytes_before_eoi_decode():
+    """Runs of 0xFF immediately before EOI are spec-legal optional fill
+    (T.81 B.1.1.2) emitted by real encoders — they must be excluded
+    from the entropy data, not rejected (round-5 advice)."""
+    img = _page()[0]
+    enc = jpeg.encode_gray(img)
+    assert enc.endswith(b"\xff\xd9")
+    base = jpeg.decode_gray(enc)
+    for n_fill in (1, 3):
+        filled = enc[:-2] + b"\xff" * n_fill + b"\xff\xd9"
+        dec = jpeg.decode_gray(filled)
+        assert np.array_equal(dec, base)
+
+
+def test_fill_bytes_before_data_still_rejected():
+    """0xFF fill is only legal before a marker; a run resuming into
+    entropy data (0xFF 0xFF 0x00) stays a typed refusal."""
+    img = _page()[0]
+    enc = jpeg.encode_gray(img)
+    i = enc.index(b"\xff\xd9", 2)  # splice fill mid-stream, not at EOI
+    bad = enc[: i - 4] + b"\xff\xff\x00" + enc[i - 4 :]
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode_gray(bad)
