@@ -173,7 +173,9 @@ def cosine_topk(
     emb: DataFrame, query_ids: DataFrame, k: int, dim: int
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vec_id."""
-    e = _with_norm(emb)
+    # two plan references (query lookup + corpus scan) — one cached
+    # norm pass instead of two
+    e = _tracked_cache(_with_norm(emb))
     q = e.join(query_ids, "vec_id").select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -201,11 +203,21 @@ def ann_topk(
     embeddings recall ≈ the scanned corpus fraction by information-
     theoretic necessity; on clustered real embeddings the same plan
     concentrates neighbors into shared buckets."""
-    e = _with_norm(emb)
-    bucketed = e.select(
-        "vec_id",
-        F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias("b"),
-    ).select("vec_id", "b.t", "b.bucket")
+    # e is referenced by the bucket pass, the candidate re-score join
+    # and the query-vector lookup; bucketed by the corpus and query
+    # sides — tracked-cache both so the norm and hyperplane pipelines
+    # run once per call, not once per plan reference (the
+    # ann_self_pairs lesson; on an unbounded corpus the same boundary
+    # comes free from the persisted bucketed index table).
+    e = _tracked_cache(_with_norm(emb))
+    bucketed = _tracked_cache(
+        e.select(
+            "vec_id",
+            F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias(
+                "b"
+            ),
+        ).select("vec_id", "b.t", "b.bucket")
+    )
     q_buckets = bucketed.join(query_ids, "vec_id").select(
         F.col("vec_id").alias("qid"), "t", "bucket"
     )
@@ -495,7 +507,10 @@ def ivf_topk(
     against nlist rows (nlist ~ sqrt(N) << N); probing fans out only
     the query side nprobe ways. Complements the LSH path: IVF adapts
     to the data's density, LSH needs no training."""
-    e = _with_norm(emb)
+    # e feeds corpus assignment, query probing, the candidate re-score
+    # join and the query-vector lookup (4 plan references) — tracked-
+    # cache it so the norm pass runs once per call (see ann_topk)
+    e = _tracked_cache(_with_norm(emb))
     if centroids is not None:
         # amortized path: the caller trained once per corpus (see
         # trained_centroids) — this call pays only assignment+probe
@@ -621,11 +636,18 @@ def ann_topk_multiprobe(
     candidate join stays an equi-join on (table, bucket). Probing
     1-bit neighbors scans the buckets whose boundary the query sits
     closest to — where near-misses of sign-LSH live."""
-    e = _with_norm(emb)
-    bucketed = e.select(
-        "vec_id",
-        F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias("b"),
-    ).select("vec_id", "b.t", "b.bucket")
+    # same tracked-cache boundaries as ann_topk: e feeds three plan
+    # references, bucketed two — without them the norm + hyperplane
+    # pipelines re-execute per reference
+    e = _tracked_cache(_with_norm(emb))
+    bucketed = _tracked_cache(
+        e.select(
+            "vec_id",
+            F.explode(bucket_struct_col(F.col("v"), dim, tables, planes)).alias(
+                "b"
+            ),
+        ).select("vec_id", "b.t", "b.bucket")
+    )
     q_own = bucketed.join(query_ids, "vec_id").select(
         F.col("vec_id").alias("qid"), "t", "bucket"
     )

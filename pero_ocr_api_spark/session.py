@@ -64,6 +64,16 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(MEDIA_ARROW_BATCH),
         )
+        # Floor on scan parallelism (guide §6): a single just-under-
+        # maxPartitionBytes parquet file otherwise scans as ONE task
+        # and serializes every downstream operator of that branch
+        # (measured: the 126 MB lineitem file made usage_statistics
+        # 2-3x slower). Derived from the session's core count — on a
+        # real cluster this is the executor-core total, so the floor
+        # stays scale-adaptive rather than a local constant; scans of
+        # many-file tables are unaffected (the floor only splits when
+        # the natural split count is lower).
+        .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
