@@ -22,6 +22,12 @@ SOFTWARE_CREATOR = "pero_ocr_api_spark"
 
 
 def _attr(v: object) -> str:
+    # numeric fast path: int/float reprs never contain XML-special
+    # characters, so quoteattr reduces to plain quoting — skipping its
+    # scan/escape machinery for the coordinate/score attributes that
+    # dominate the call count (identical output by construction)
+    if type(v) is int or type(v) is float:
+        return f'"{v}"'
     return quoteattr(str(v))
 
 
